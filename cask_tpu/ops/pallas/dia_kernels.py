@@ -1,0 +1,215 @@
+"""Pallas TPU kernels for diagonal-packed (DIA) SpMV / SpMM.
+
+Design (see :mod:`cask_tpu.ops.dia` for the format):
+
+- The (ndiags, m_pad) value array is the dominant HBM traffic.  It is
+  streamed tile-by-tile through the automatic Pallas pipeline (double-
+  buffered DMA), exactly the role of cask's nnz stream into the DFE.
+- x is VMEM-resident (cask's BRAM vector cache).  Each diagonal is a
+  *statically known* shift: for SpMV the flat shift ``s`` decomposes into
+  a sublane part (a dynamic row slice) and a lane part (two static
+  ``roll``s + a select); for SpMM the shift moves whole rows, so it is a
+  plain slice — no lane ops at all.
+- All shift amounts come from the static ``offsets`` tuple, so the loop
+  over diagonals fully unrolls at trace time: zero scalar work per tile
+  beyond the row-slice starts.
+
+Grid: one dimension over row tiles of 64×128 = 8192 rows (``_ROW_TILE``,
+matching the pack-time padding, so no partial blocks exist).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cask_tpu.ops import dia as _dia
+
+_LANE = 128
+_SUBL = 64  # sublane rows per value tile -> tile = (_SUBL, _LANE) elements
+_TM = _SUBL * _LANE  # rows of y per grid step
+
+# VMEM budget for the resident x copy (v5e has ~16 MB more or less; leave
+# room for the streamed value tiles and the output tile).
+_X_VMEM_BUDGET = 8 * 1024 * 1024
+_MAX_UNROLL_DIAGS = 80
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pallas_ok(a: "_dia.DiaMatrix", k: Optional[int]) -> bool:
+    """Can the Pallas path handle this plan (vs. the XLA formulation)?"""
+    if a.ndiags > _MAX_UNROLL_DIAGS:
+        return False
+    if a.m_pad % _TM:
+        return False
+    lo = -min(min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    db = jnp.dtype(a.vals.dtype).itemsize
+    if k is None:
+        xbytes = (a.m_pad + lo + hi + 2 * _TM) * db
+        return xbytes <= _X_VMEM_BUDGET
+    else:
+        kp = -(-max(k, _LANE) // _LANE) * _LANE
+        # resident X, or the windowed variant (X in HBM, VMEM scratch
+        # window per tile) — windowed only needs span + tile rows on-chip
+        ws = _SPMM_TM + lo + hi
+        window_bytes = (ws * 2 + _SPMM_TM) * kp * db
+        return k <= 512 and window_bytes <= _X_VMEM_BUDGET
+
+
+def _roll_lanes(x, s: int, interpret: bool):
+    """roll left by s lanes (static s) — np.roll(x, -s, axis=-1)."""
+    if s == 0:
+        return x
+    if interpret:
+        return jnp.roll(x, -s, axis=-1)
+    return pltpu.roll(x, -s % _LANE, axis=-1)
+
+
+def _shifted_window(x_ref, row0, s: int, tm: int, interpret: bool):
+    """Read tm×128 elements of the flattened x starting at flat offset
+    ``row0*128 + s`` from a (rows, 128) VMEM ref, s < 128 static."""
+    if s == 0:
+        return x_ref[pl.ds(row0, tm), :]
+    xw = x_ref[pl.ds(row0, tm + 1), :]
+    a = _roll_lanes(xw[:tm, :], s, interpret)
+    b = _roll_lanes(xw[1 : tm + 1, :], s, interpret)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LANE), 1)
+    return jnp.where(lane < _LANE - s, a, b)
+
+
+# ---------------------------------------------------------------------------
+# SpMV
+# ---------------------------------------------------------------------------
+
+
+def _spmv_kernel(offsets, lo, interpret, x_ref, v_ref, o_ref):
+    # v_ref block: (D, 1, _SUBL, _LANE) — one row tile of every diagonal
+    t = pl.program_id(0)
+    acc = jnp.zeros((_SUBL, _LANE), dtype=o_ref.dtype)
+    for d, off in enumerate(offsets):
+        start = off + lo  # static, >= 0
+        q, s = divmod(start, _LANE)
+        row0 = t * _SUBL + q
+        sh = _shifted_window(x_ref, row0, s, _SUBL, interpret)
+        acc = acc + v_ref[d, 0] * sh
+    o_ref[...] = acc
+
+
+def dia_spmv_pallas(a: "_dia.DiaMatrix", x):
+    m, n = a.shape
+    D = a.ndiags
+    lo = -min(min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    T = a.m_pad // _TM
+
+    # padded flat x: [lo zeros | x | zeros], length aligned so the widest
+    # shifted window slice stays in range.
+    xrows = T * _SUBL + (lo + hi) // _LANE + 2
+    xp = jnp.zeros((xrows * _LANE,), x.dtype).at[lo : lo + n].set(x)
+    x2 = xp.reshape(xrows, _LANE)
+    v3 = a.vals.reshape(D, T, _SUBL, _LANE)
+
+    kernel = functools.partial(_spmv_kernel, a.offsets, lo, _interpret())
+    out = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+            pl.BlockSpec((D, 1, _SUBL, _LANE), lambda t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_SUBL, _LANE), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T * _SUBL, _LANE), a.vals.dtype),
+        interpret=_interpret(),
+    )(x2, v3)
+    return out.reshape(-1)[:m]
+
+
+# ---------------------------------------------------------------------------
+# SpMM
+# ---------------------------------------------------------------------------
+
+
+def _spmm_resident_kernel(offsets, lo, tm, kp, x_ref, v_ref, o_ref):
+    t = pl.program_id(0)
+    # v_ref: (D, tm) value tile → transpose once, amortized over kp lanes
+    vt = v_ref[...].T  # (tm, D)
+    acc = jnp.zeros((tm, kp), dtype=o_ref.dtype)
+    for d, off in enumerate(offsets):
+        start = off + lo  # static row shift
+        xw = x_ref[pl.ds(t * tm + start, tm), :]  # (tm, kp)
+        acc = acc + vt[:, d : d + 1] * xw
+    o_ref[...] = acc
+
+
+def _spmm_window_kernel(offsets, lo, hi, tm, kp, x_hbm, v_ref, o_ref, xw_ref, sem):
+    # X lives in HBM; DMA one (tm + span, kp) window per tile into VMEM.
+    # All diagonal shifts inside the window are *static* row slices.
+    t = pl.program_id(0)
+    ws = tm + lo + hi
+    dma = pltpu.make_async_copy(x_hbm.at[pl.ds(t * tm, ws), :], xw_ref, sem)
+    dma.start()
+    vt = v_ref[...].T  # (tm, D) — overlaps with the DMA
+    dma.wait()
+    acc = jnp.zeros((tm, kp), dtype=o_ref.dtype)
+    for d, off in enumerate(offsets):
+        start = off + lo  # static
+        acc = acc + vt[:, d : d + 1] * xw_ref[start : start + tm, :]
+    o_ref[...] = acc
+
+
+_SPMM_TM = 256  # rows of y per grid step
+
+
+def dia_spmm_pallas(a: "_dia.DiaMatrix", x):
+    m, n = a.shape
+    k = int(x.shape[1])
+    kp = max(_LANE, -(-k // _LANE) * _LANE)
+    D = a.ndiags
+    lo = -min(min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    tm = _SPMM_TM if a.m_pad % _SPMM_TM == 0 else _SUBL
+    T = a.m_pad // tm
+    db = jnp.dtype(x.dtype).itemsize
+
+    xp = jnp.zeros((T * tm + lo + hi + tm, kp), x.dtype)
+    xp = xp.at[lo : lo + n, :k].set(x)
+
+    resident = xp.shape[0] * kp * db <= _X_VMEM_BUDGET
+    common = dict(
+        grid=(T,),
+        out_specs=pl.BlockSpec((tm, kp), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T * tm, kp), a.vals.dtype),
+        interpret=_interpret(),
+    )
+    v_spec = pl.BlockSpec((D, tm), lambda t: (0, t), memory_space=pltpu.VMEM)
+    if resident:
+        kernel = functools.partial(_spmm_resident_kernel, a.offsets, lo, tm, kp)
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), v_spec],
+            **common,
+        )(xp, a.vals)
+    else:
+        ws = tm + lo + hi
+        kernel = functools.partial(_spmm_window_kernel, a.offsets, lo, hi, tm, kp)
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), v_spec],
+            scratch_shapes=[
+                pltpu.VMEM((ws, kp), x.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            **common,
+        )(xp, a.vals)
+    return out[:m, :k]

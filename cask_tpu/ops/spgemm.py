@@ -1,0 +1,145 @@
+"""SpGEMM:  C = A @ B  for sparse A, B (BASELINE config 4: A·A and A·B on
+graph matrices).
+
+XLA compiles static shapes, but SpGEMM's output sparsity is data-
+dependent (SURVEY.md §7 hard-part (a)).  Resolution: split the op in the
+classic two phases —
+
+- **symbolic** (host, structure-only, cacheable): compute the expansion
+  map (every scalar product A[i,k]·B[k,j] gets a slot) and the output
+  structure C.indices/C.indptr, via numpy (native C++ core for large
+  inputs).  This depends only on the sparsity patterns, so it is reused
+  across value updates — the common case in solvers and graph pipelines.
+- **numeric** (device, jittable): two gathers + one multiply + one
+  ``segment_sum`` over precomputed static index arrays.
+
+This mirrors how cask split preprocess (host encode) from compute (DFE
+stream), and is also the standard GPU SpGEMM decomposition (row-merge /
+expansion-sort-compress), re-cut along the host/XLA boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cask_tpu.formats.matrix import CSR
+
+_INT = np.int32
+
+
+@dataclasses.dataclass(frozen=True)
+class SpGEMMPlan:
+    """Host-side symbolic product of two sparsity patterns.
+
+    ``src_a[t]`` / ``src_b[t]`` index the A/B entries whose product feeds
+    expansion slot ``t``; ``out_id[t]`` maps the slot to its C entry.
+    """
+
+    shape: Tuple[int, int]
+    src_a: np.ndarray  # (E,) int32 into A.data
+    src_b: np.ndarray  # (E,) int32 into B.data
+    out_id: np.ndarray  # (E,) int32 into C.data
+    c_indices: np.ndarray  # (nnz_C,) int32
+    c_indptr: np.ndarray  # (m+1,) int32
+
+    @property
+    def nnz(self) -> int:
+        return int(self.c_indices.shape[0])
+
+    @property
+    def expansion(self) -> int:
+        return int(self.src_a.shape[0])
+
+    def numeric(self, a_data, b_data) -> CSR:
+        """Device-side numeric phase (jittable)."""
+        a_data = jnp.asarray(a_data)
+        b_data = jnp.asarray(b_data)
+        prod = a_data[jnp.asarray(self.src_a)] * b_data[jnp.asarray(self.src_b)]
+        c_data = jax.ops.segment_sum(
+            prod, jnp.asarray(self.out_id), num_segments=self.nnz, indices_are_sorted=True
+        )
+        return CSR(
+            data=c_data,
+            indices=jnp.asarray(self.c_indices),
+            indptr=jnp.asarray(self.c_indptr),
+            shape=self.shape,
+        )
+
+
+def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
+    """Symbolic phase: expansion map + output structure (host, numpy)."""
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
+    m, p = a.shape[0], b.shape[1]
+
+    a_indptr = np.asarray(a.indptr, dtype=np.int64)
+    a_indices = np.asarray(a.indices, dtype=np.int64)
+    b_indptr = np.asarray(b.indptr, dtype=np.int64)
+    b_indices = np.asarray(b.indices, dtype=np.int64)
+
+    a_rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(a_indptr))
+    # expansion slots: A entry e pairs with the whole B row a_indices[e]
+    b_counts = np.diff(b_indptr)
+    exp_counts = b_counts[a_indices]  # products per A entry
+    E = int(exp_counts.sum())
+    src_a = np.repeat(np.arange(a_indices.shape[0], dtype=np.int64), exp_counts)
+    # src_b: for slot t within A-entry e, b_indptr[a_indices[e]] + local_offset
+    slot_start = np.zeros(a_indices.shape[0] + 1, dtype=np.int64)
+    np.cumsum(exp_counts, out=slot_start[1:])
+    local = np.arange(E, dtype=np.int64) - slot_start[src_a]
+    src_b = b_indptr[a_indices[src_a]] + local
+
+    rows = a_rows[src_a]
+    cols = b_indices[src_b]
+    key = rows * p + cols
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq_mask = np.empty(E, dtype=bool)
+    if E:
+        uniq_mask[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=uniq_mask[1:])
+        out_of_order = np.cumsum(uniq_mask) - 1  # C id per sorted slot
+        nnz_c = int(out_of_order[-1]) + 1
+        out_id = np.empty(E, dtype=np.int64)
+        out_id[order] = out_of_order
+        uniq_key = key_s[uniq_mask]
+    else:
+        out_id = np.zeros(0, dtype=np.int64)
+        nnz_c = 0
+        uniq_key = np.zeros(0, dtype=np.int64)
+
+    c_rows = uniq_key // p
+    c_indices = (uniq_key % p).astype(_INT)
+    c_indptr = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(c_indptr, c_rows + 1, 1)
+    c_indptr = np.cumsum(c_indptr)
+
+    return SpGEMMPlan(
+        shape=(m, p),
+        src_a=src_a.astype(_INT),
+        src_b=src_b.astype(_INT),
+        out_id=out_id.astype(_INT),
+        c_indices=c_indices,
+        c_indptr=c_indptr.astype(_INT),
+    )
+
+
+def spgemm(a: CSR, b: Optional[CSR] = None, *, plan: Optional[SpGEMMPlan] = None) -> CSR:
+    """``C = A @ B`` (``B=None`` means ``A @ A``).
+
+    Convenience wrapper: symbolic on host (or a provided cached ``plan``),
+    numeric on device.  For repeated products with fixed structures, build
+    the plan once with :func:`spgemm_plan` and call ``plan.numeric``.
+    """
+    if b is None:
+        b = a
+    if not isinstance(a, CSR) or not isinstance(b, CSR):
+        raise TypeError("spgemm requires CSR operands (convert first)")
+    if plan is None:
+        plan = spgemm_plan(a, b)
+    return plan.numeric(a.data, b.data)

@@ -1,0 +1,133 @@
+"""Sparse matrix–vector product  y = A @ x  (and  y = Aᵀ @ x).
+
+cask analog: the ``Spmv`` frontend object and its hardware kernels
+(SURVEY.md §2 R2/R5).  Dispatch:
+
+- ``method='xla'``   — gather + ``segment_sum`` formulation, pure XLA.
+  Always available, every format, every backend; the correctness
+  reference (BASELINE config 1 runs this at f64).
+- ``method='dia'``   — Pallas diagonal-window streaming kernel for
+  banded/stencil matrices (see :mod:`cask_tpu.ops.dia`): zero gathers,
+  the per-chip speed-of-light path.
+- ``method='auto'``  — xla here; the *tuned* auto path is
+  :func:`cask_tpu.tune.tune`, which times variants per matrix and caches
+  the winner by sparsity signature (cask's DSE analog).
+
+All paths are jittable with the matrix as a pytree argument: static
+metadata (shape, blocksize) is pytree aux data, so retracing happens per
+sparsity structure, not per value — the analog of cask compiling one
+bitstream per matrix class.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cask_tpu.formats.matrix import BSR, COO, CSR
+
+
+def _accum_dtype(dtype, accum_dtype):
+    if accum_dtype is not None:
+        return jnp.dtype(accum_dtype)
+    d = jnp.dtype(dtype)
+    if d in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)):
+        return jnp.dtype(jnp.float32)
+    return d
+
+
+def row_ids_from_indptr(indptr: jax.Array, nnz: int) -> jax.Array:
+    """Expand CSR indptr into per-entry row ids, jit-compatibly.
+
+    ``jnp.repeat`` with traced counts is shape-dynamic; instead use
+    searchsorted: entry k belongs to the row whose indptr bracket holds k.
+    """
+    return (
+        jnp.searchsorted(indptr, jnp.arange(nnz, dtype=indptr.dtype), side="right") - 1
+    ).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# XLA formulations
+# ---------------------------------------------------------------------------
+
+
+def _spmv_xla_csr(a: CSR, x, transpose, accum_dtype):
+    acc = _accum_dtype(a.dtype, accum_dtype)
+    data = jnp.asarray(a.data)
+    indices = jnp.asarray(a.indices)
+    rows = row_ids_from_indptr(jnp.asarray(a.indptr), a.nnz)
+    if not transpose:
+        prod = (data * x[indices]).astype(acc)
+        y = jax.ops.segment_sum(prod, rows, num_segments=a.shape[0], indices_are_sorted=True)
+    else:
+        prod = (data * x[rows]).astype(acc)
+        y = jax.ops.segment_sum(prod, indices, num_segments=a.shape[1], indices_are_sorted=False)
+    return y.astype(x.dtype) if jnp.dtype(x.dtype) == jnp.dtype(a.dtype) else y
+
+
+def _spmv_xla_coo(a: COO, x, transpose, accum_dtype):
+    acc = _accum_dtype(a.dtype, accum_dtype)
+    data = jnp.asarray(a.data)
+    row, col = jnp.asarray(a.row), jnp.asarray(a.col)
+    if transpose:
+        row, col = col, row
+        m = a.shape[1]
+    else:
+        m = a.shape[0]
+    prod = (data * x[col]).astype(acc)
+    return jax.ops.segment_sum(prod, row, num_segments=m)
+
+
+def _spmv_xla_bsr(a: BSR, x, transpose, accum_dtype):
+    acc = _accum_dtype(a.dtype, accum_dtype)
+    br, bc = a.blocksize
+    pm, pn = a.padded_shape
+    data = jnp.asarray(a.data)  # (nb, br, bc)
+    indices = jnp.asarray(a.indices)
+    brow = row_ids_from_indptr(jnp.asarray(a.indptr), a.n_blocks)
+    if not transpose:
+        xp = jnp.zeros(pn, dtype=x.dtype).at[: a.shape[1]].set(x)
+        xb = xp.reshape(a.n_block_cols, bc)[indices]  # (nb, bc) — one gather per block
+        part = jnp.einsum("kij,kj->ki", data, xb, preferred_element_type=acc)
+        yb = jax.ops.segment_sum(part, brow, num_segments=a.n_block_rows, indices_are_sorted=True)
+        return yb.reshape(pm)[: a.shape[0]]
+    else:
+        xp = jnp.zeros(pm, dtype=x.dtype).at[: a.shape[0]].set(x)
+        xb = xp.reshape(a.n_block_rows, br)[brow]  # (nb, br)
+        part = jnp.einsum("kij,ki->kj", data, xb, preferred_element_type=acc)
+        yb = jax.ops.segment_sum(part, indices, num_segments=a.n_block_cols)
+        return yb.reshape(pn)[: a.shape[1]]
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+
+def spmv(a, x, *, transpose: bool = False, method: str = "auto",
+         accum_dtype: Optional[object] = None):
+    """``y = a @ x`` (or ``aᵀ @ x``).  See module docstring for methods."""
+    x = jnp.asarray(x)
+    if x.ndim != 1:
+        raise ValueError(f"x must be 1-D, got shape {x.shape}")
+    n_expect = a.shape[0] if transpose else a.shape[1]
+    if x.shape[0] != n_expect:
+        raise ValueError(f"dimension mismatch: A {a.shape} (transpose={transpose}) vs x {x.shape}")
+
+    if method == "dia":
+        from cask_tpu.ops.dia import spmv_dia
+
+        return spmv_dia(a, x, transpose=transpose, accum_dtype=accum_dtype)
+    if method not in ("auto", "xla"):
+        raise ValueError(f"unknown spmv method {method!r}")
+
+    if isinstance(a, CSR):
+        return _spmv_xla_csr(a, x, transpose, accum_dtype)
+    if isinstance(a, COO):
+        return _spmv_xla_coo(a, x, transpose, accum_dtype)
+    if isinstance(a, BSR):
+        return _spmv_xla_bsr(a, x, transpose, accum_dtype)
+    raise TypeError(f"unsupported matrix type {type(a)}")

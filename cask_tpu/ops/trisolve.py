@@ -1,0 +1,222 @@
+"""Sparse triangular solve  L x = b  /  U x = b  (BASELINE T5).
+
+Sequential dependences are the hard part on a SIMD machine (SURVEY.md §7
+hard-part (c)).  Strategy: **level scheduling** — rows are grouped into
+levels such that every row's dependencies live in earlier levels; the
+device then runs one ``lax.scan`` over levels, each step a batched
+gather / segment-sum / divide over a padded level worth of rows.  The
+level analysis runs on the host once per sparsity pattern and is cached
+in a :class:`TriSolvePlan` (cask analog: host preprocess vs DFE compute
+split, SURVEY.md §3.1).
+
+Padding discipline: rows/cols are padded with index ``n`` into an
+(n+1)-slot solution vector whose last slot stays 0, so the scan body
+needs no masks (same trick as BSR structural-zero padding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cask_tpu.formats.matrix import CSR
+
+_INT = np.int32
+
+
+def _split_triangle(a: CSR, lower: bool):
+    """Host split of CSR into (strict off-diag entries, diag values)."""
+    indptr = np.asarray(a.indptr, dtype=np.int64)
+    indices = np.asarray(a.indices, dtype=np.int64)
+    n = a.shape[0]
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    on_diag = rows == indices
+    strict = (indices < rows) if lower else (indices > rows)
+    wrong_side = ~(on_diag | strict)
+    if np.any(wrong_side):
+        raise ValueError(
+            "matrix has entries on the wrong side of the diagonal for "
+            f"{'lower' if lower else 'upper'} trisolve"
+        )
+    diag_val_idx = np.full(n, -1, dtype=np.int64)
+    diag_val_idx[rows[on_diag]] = np.nonzero(on_diag)[0]
+    return rows, indices, strict, diag_val_idx
+
+
+def compute_levels(rows: np.ndarray, cols: np.ndarray, n: int, lower: bool) -> np.ndarray:
+    """Level of each row (0-based) via vectorized frontier propagation.
+
+    O(nnz) total work: each pass retires the rows whose remaining
+    dependency count hit zero and decrements their dependents.
+    """
+    # dependency edges: row r depends on row c (strict triangle entries)
+    dep_counts = np.zeros(n, dtype=np.int64)
+    np.add.at(dep_counts, rows, 1)
+    # group edges by their *column* (CSC-ish) to find dependents of a row
+    order = np.argsort(cols, kind="stable")
+    e_rows = rows[order]
+    e_cols = cols[order]
+    col_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(col_ptr, e_cols + 1, 1)
+    col_ptr = np.cumsum(col_ptr)
+
+    level = np.full(n, -1, dtype=np.int64)
+    frontier = np.nonzero(dep_counts == 0)[0]
+    lvl = 0
+    while frontier.size:
+        level[frontier] = lvl
+        # all edges whose source column is in the frontier
+        starts = col_ptr[frontier]
+        ends = col_ptr[frontier + 1]
+        lens = ends - starts
+        tot = int(lens.sum())
+        if tot:
+            base = np.repeat(starts, lens)
+            offs = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            touched = e_rows[base + offs]
+            np.add.at(dep_counts, touched, -1)
+            dep_counts[frontier] = -1  # retired
+            frontier = np.unique(touched[dep_counts[touched] == 0])
+        else:
+            dep_counts[frontier] = -1
+            frontier = np.zeros(0, dtype=np.int64)
+        lvl += 1
+    if np.any(level < 0):
+        raise ValueError("dependency cycle — not a permuted triangular matrix?")
+    return level
+
+
+@dataclasses.dataclass(frozen=True)
+class TriSolvePlan:
+    """Level schedule + padded index arrays for one triangular pattern."""
+
+    n: int
+    lower: bool
+    unit_diag: bool
+    nlevels: int
+    max_rows: int  # rows per level, padded
+    max_ents: int  # strict entries per level, padded
+    lvl_rows: np.ndarray  # (nlevels, max_rows) int32, pad = n
+    lvl_diag_idx: np.ndarray  # (nlevels, max_rows) int32 into data, pad = 0
+    lvl_ent_local: np.ndarray  # (nlevels, max_ents) int32 into [0, max_rows), pad→max_rows
+    lvl_ent_col: np.ndarray  # (nlevels, max_ents) int32, pad = n
+    lvl_ent_idx: np.ndarray  # (nlevels, max_ents) int32 into data, pad = 0
+    lvl_ent_valid: np.ndarray  # (nlevels, max_ents) bool
+
+    def solve(self, data, b):
+        """Jittable solve given the pattern's value array ``data``."""
+        data = jnp.asarray(data)
+        b = jnp.asarray(b)
+        n = self.n
+        xe = jnp.zeros(n + 1, dtype=b.dtype)
+
+        lvl_rows = jnp.asarray(self.lvl_rows)
+        lvl_diag = jnp.asarray(self.lvl_diag_idx)
+        ent_local = jnp.asarray(self.lvl_ent_local)
+        ent_col = jnp.asarray(self.lvl_ent_col)
+        ent_idx = jnp.asarray(self.lvl_ent_idx)
+        ent_valid = jnp.asarray(self.lvl_ent_valid)
+
+        be = jnp.concatenate([b, jnp.zeros(1, b.dtype)])
+
+        def body(xe, lv):
+            rows, diag_idx, e_local, e_col, e_idx, e_valid = lv
+            vals = jnp.where(e_valid, data[e_idx], 0).astype(b.dtype)
+            contrib = jax.ops.segment_sum(
+                vals * xe[e_col], e_local, num_segments=self.max_rows + 1
+            )[: self.max_rows]
+            rhs = be[rows] - contrib
+            if self.unit_diag:
+                xr = rhs
+            else:
+                xr = rhs / jnp.where(rows < n, data[diag_idx], 1).astype(b.dtype)
+            xe = xe.at[rows].set(xr, mode="drop")
+            return xe, None
+
+        xe, _ = jax.lax.scan(
+            body, xe, (lvl_rows, lvl_diag, ent_local, ent_col, ent_idx, ent_valid)
+        )
+        return xe[:n]
+
+
+def trisolve_plan(a: CSR, *, lower: bool = True, unit_diag: bool = False) -> TriSolvePlan:
+    n = a.shape[0]
+    if a.shape[0] != a.shape[1]:
+        raise ValueError("triangular solve needs a square matrix")
+    rows, cols, strict, diag_idx = _split_triangle(a, lower)
+    if not unit_diag and np.any(diag_idx < 0):
+        raise ValueError("zero diagonal entry (missing from pattern)")
+    s_rows = rows[strict]
+    s_cols = cols[strict]
+    s_idx = np.nonzero(strict)[0]
+    level = compute_levels(s_rows, s_cols, n, lower)
+
+    nlevels = int(level.max()) + 1 if n else 0
+    order = np.argsort(level, kind="stable")
+    lvl_sizes = np.bincount(level, minlength=nlevels)
+    max_rows = int(lvl_sizes.max()) if nlevels else 0
+
+    lvl_rows = np.full((nlevels, max_rows), n, dtype=_INT)
+    lvl_diag = np.zeros((nlevels, max_rows), dtype=_INT)
+    pos_in_level = np.zeros(n, dtype=np.int64)
+    # position of each row inside its level
+    start = np.zeros(nlevels + 1, dtype=np.int64)
+    np.cumsum(lvl_sizes, out=start[1:])
+    pos_in_level[order] = np.arange(n) - start[level[order]]
+    lvl_rows[level, pos_in_level] = np.arange(n, dtype=_INT)
+    if not unit_diag:
+        lvl_diag[level, pos_in_level] = diag_idx.astype(_INT)
+
+    e_level = level[s_rows]
+    ents_per_level = np.bincount(e_level, minlength=nlevels) if s_rows.size else np.zeros(nlevels, np.int64)
+    max_ents = int(ents_per_level.max()) if nlevels and ents_per_level.size else 0
+    max_ents = max(max_ents, 1)
+
+    lvl_ent_local = np.full((nlevels, max_ents), max_rows, dtype=_INT)
+    lvl_ent_col = np.full((nlevels, max_ents), n, dtype=_INT)
+    lvl_ent_idx = np.zeros((nlevels, max_ents), dtype=_INT)
+    lvl_ent_valid = np.zeros((nlevels, max_ents), dtype=bool)
+    if s_rows.size:
+        e_order = np.argsort(e_level, kind="stable")
+        e_start = np.zeros(nlevels + 1, dtype=np.int64)
+        np.cumsum(ents_per_level, out=e_start[1:])
+        e_pos = np.arange(s_rows.size) - e_start[e_level[e_order]]
+        el = e_level[e_order]
+        lvl_ent_local[el, e_pos] = pos_in_level[s_rows[e_order]].astype(_INT)
+        lvl_ent_col[el, e_pos] = s_cols[e_order].astype(_INT)
+        lvl_ent_idx[el, e_pos] = s_idx[e_order].astype(_INT)
+        lvl_ent_valid[el, e_pos] = True
+
+    return TriSolvePlan(
+        n=n,
+        lower=lower,
+        unit_diag=unit_diag,
+        nlevels=nlevels,
+        max_rows=max_rows,
+        max_ents=max_ents,
+        lvl_rows=lvl_rows,
+        lvl_diag_idx=lvl_diag,
+        lvl_ent_local=lvl_ent_local,
+        lvl_ent_col=lvl_ent_col,
+        lvl_ent_idx=lvl_ent_idx,
+        lvl_ent_valid=lvl_ent_valid,
+    )
+
+
+def trisolve(a: CSR, b, *, lower: bool = True, unit_diag: bool = False,
+             plan: Optional[TriSolvePlan] = None):
+    """Solve the sparse triangular system ``a x = b``.
+
+    Build (or pass) a :class:`TriSolvePlan`; the solve itself is jittable
+    and lives on device.  For repeated solves with one pattern (the
+    preconditioner case) keep the plan.
+    """
+    if plan is None:
+        plan = trisolve_plan(a, lower=lower, unit_diag=unit_diag)
+    return plan.solve(jnp.asarray(a.data), b)

@@ -1,0 +1,197 @@
+"""Iterative Krylov solvers: CG, preconditioned CG, BiCGStab, GMRES(m).
+
+cask analog: the CG-flavored solver demo (SURVEY.md §2 R7, §3.3).  The
+design lesson from cask's call stack applies directly: cask paid a PCIe
+round-trip per iteration for the host-side vector ops; here the *entire*
+iteration loop is one jitted ``lax.while_loop``, so SpMV, dots, axpys and
+the preconditioner solve all stay device-resident, and only the final
+(x, stats) leave the chip.
+
+``a`` may be a cask_tpu matrix (CSR/COO/BSR — :func:`cask_tpu.spmv` is
+used) or any callable ``x -> A@x`` (e.g. a tuned kernel or a distributed
+``shard_map`` SpMV).  ``M`` is an optional preconditioner callable
+``r -> M⁻¹r`` (e.g. :meth:`cask_tpu.ops.ilu.ILU0Factors.apply`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from cask_tpu.ops.spmv import spmv
+
+
+@dataclasses.dataclass
+class SolveResult:
+    x: jax.Array
+    iterations: jax.Array  # int32
+    residual_norm: jax.Array  # ||b - A x||₂ estimate at exit
+    converged: jax.Array  # bool
+
+
+jax.tree_util.register_dataclass(
+    SolveResult, data_fields=["x", "iterations", "residual_norm", "converged"], meta_fields=[]
+)
+
+
+def _as_operator(a) -> Callable:
+    if callable(a) and not hasattr(a, "shape"):
+        return a
+    return lambda v: spmv(a, v)
+
+
+def _ident(r):
+    return r
+
+
+def cg(a, b, *, x0=None, tol: float = 1e-8, atol: float = 0.0, maxiter: int = 1000,
+       M: Optional[Callable] = None) -> SolveResult:
+    """Conjugate gradients for SPD ``a`` (optionally preconditioned)."""
+    op = _as_operator(a)
+    M = M or _ident
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(tol * bnorm, atol).astype(b.dtype)
+
+    r0 = b - op(x0)
+    z0 = M(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (jnp.linalg.norm(r) > target) & (k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        ap = op(p)
+        alpha = rz / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, p, rz_new, k + 1)
+
+    x, r, _, _, k = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, jnp.int32(0)))
+    rn = jnp.linalg.norm(r)
+    return SolveResult(x=x, iterations=k, residual_norm=rn, converged=rn <= target)
+
+
+def bicgstab(a, b, *, x0=None, tol: float = 1e-8, atol: float = 0.0, maxiter: int = 1000,
+             M: Optional[Callable] = None) -> SolveResult:
+    """BiCGStab for general (nonsymmetric) ``a``."""
+    op = _as_operator(a)
+    M = M or _ident
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(tol * bnorm, atol).astype(b.dtype)
+
+    r0 = b - op(x0)
+    rhat = r0
+    state0 = (
+        x0, r0,
+        jnp.ones((), b.dtype),  # rho
+        jnp.ones((), b.dtype),  # alpha
+        jnp.ones((), b.dtype),  # omega
+        jnp.zeros_like(b),  # v
+        jnp.zeros_like(b),  # p
+        jnp.int32(0),
+    )
+
+    def cond(st):
+        _, r, *_, k = st
+        return (jnp.linalg.norm(r) > target) & (k < maxiter)
+
+    def body(st):
+        x, r, rho, alpha, omega, v, p, k = st
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = M(p)
+        v = op(phat)
+        alpha = rho_new / jnp.vdot(rhat, v)
+        s = r - alpha * v
+        shat = M(s)
+        t = op(shat)
+        omega = jnp.vdot(t, s) / jnp.vdot(t, t)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return (x, r, rho_new, alpha, omega, v, p, k + 1)
+
+    x, r, *_, k = jax.lax.while_loop(cond, body, state0)
+    rn = jnp.linalg.norm(r)
+    return SolveResult(x=x, iterations=k, residual_norm=rn, converged=rn <= target)
+
+
+def gmres(a, b, *, x0=None, tol: float = 1e-8, atol: float = 0.0, restart: int = 32,
+          maxiter: int = 50, M: Optional[Callable] = None) -> SolveResult:
+    """Restarted GMRES(m) with (left-preconditioned) Arnoldi, fully jitted.
+
+    ``maxiter`` counts outer restarts.  The Krylov basis is a fixed
+    (restart+1, n) buffer — static shapes for XLA; the least-squares
+    problem per restart is solved densely on device.
+    """
+    op = _as_operator(a)
+    M = M or _ident
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    m = restart
+
+    bnorm = jnp.linalg.norm(M(b))
+    target = jnp.maximum(tol * bnorm, atol).astype(b.dtype)
+
+    def arnoldi_cycle(x):
+        r = M(b - op(x))
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), b.dtype).at[0].set(r / jnp.where(beta == 0, 1, beta))
+        H = jnp.zeros((m + 1, m), b.dtype)
+
+        def step(carry, j):
+            V, H = carry
+            w = M(op(V[j]))
+            # modified Gram–Schmidt against all basis vectors (masked > j)
+            mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
+
+            def mgs(carry_w, i):
+                w = carry_w
+                h = jnp.vdot(V[i], w) * mask[i]
+                w = w - h * V[i]
+                return w, h
+
+            w, hcol = jax.lax.scan(mgs, w, jnp.arange(m + 1))
+            hnorm = jnp.linalg.norm(w)
+            H = H.at[:, j].set(hcol)
+            H = H.at[j + 1, j].set(hnorm)
+            V = V.at[j + 1].set(w / jnp.where(hnorm == 0, 1, hnorm))
+            return (V, H), None
+
+        (V, H), _ = jax.lax.scan(step, (V, H), jnp.arange(m))
+        # solve min ‖beta e1 − H y‖ via normal equations on the small system
+        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        y = jnp.linalg.lstsq(H, e1)[0]
+        x_new = x + V[:m].T @ y
+        return x_new
+
+    def cond(st):
+        x, k = st
+        r = M(b - op(x))
+        return (jnp.linalg.norm(r) > target) & (k < maxiter)
+
+    def body(st):
+        x, k = st
+        return (arnoldi_cycle(x), k + 1)
+
+    x, k = jax.lax.while_loop(cond, body, (x0, jnp.int32(0)))
+    rn = jnp.linalg.norm(b - op(x))
+    return SolveResult(x=x, iterations=k, residual_norm=rn, converged=rn <= jnp.maximum(tol * jnp.linalg.norm(b), atol))

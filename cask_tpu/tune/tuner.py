@@ -1,0 +1,190 @@
+"""Per-matrix autotuner (BASELINE T6) — cask's DSE layer, TPU-style.
+
+cask enumerated FPGA architecture parameters with analytic resource/
+performance models, then paid an hours-long bitstream build for the
+winner (SURVEY.md §3.2).  On TPU, JIT replaces the bitstream build, so
+the loop becomes: analytic *byte-traffic* prefilter → on-device timing of
+the few surviving variants (minutes of compile on the proxied dev chip,
+SURVEY.md §8.2, hence the prefilter is load-bearing) → JSON cache keyed
+on sparsity signature.
+
+Variant space (grows as kernels land):
+- ``csr_xla``            — gather + segment_sum
+- ``bsr_xla:<b>``        — block gather + einsum + segment_sum
+- ``dia_pallas[:spmm]``  — diagonal-window streaming Pallas kernel
+- ``bsr_pallas:<b>``     — Pallas block kernel (SpMM, MXU path)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Callable, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from cask_tpu.formats.convert import csr_to_bsr
+from cask_tpu.formats.matrix import CSR
+from cask_tpu.formats.signature import Signature, signature as compute_signature
+from cask_tpu.ops.spmm import spmm
+from cask_tpu.ops.spmv import spmv
+from cask_tpu.tune.cache import TunerCache, default_cache
+from cask_tpu.tune.timing import measure
+
+log = logging.getLogger("cask_tpu.tune")
+
+_BSR_CANDIDATES = (4, 8, 16, 32)
+
+
+@dataclasses.dataclass
+class Variant:
+    name: str  # e.g. "csr_xla", "bsr_xla:8", "dia_pallas"
+    est_bytes: float  # analytic traffic per op application
+
+    def build(self, a: CSR, k: Optional[int]) -> Tuple[object, Callable]:
+        """Return (device_matrix, step_fn(x)->y) for this variant."""
+        if self.name == "csr_xla":
+            dev = a.device_put()
+            if k is None:
+                return dev, lambda x: spmv(dev, x, method="xla")
+            return dev, lambda x: spmm(dev, x, method="xla")
+        if self.name.startswith("bsr_xla:"):
+            b = int(self.name.split(":")[1])
+            dev = csr_to_bsr(a, (b, b)).device_put()
+            if k is None:
+                return dev, lambda x: spmv(dev, x, method="xla")
+            return dev, lambda x: spmm(dev, x, method="xla")
+        if self.name == "dia_pallas":
+            from cask_tpu.ops.dia import dia_plan
+
+            plan = dia_plan(a)
+            dev = plan.device_put()
+            if k is None:
+                return dev, lambda x: dev.spmv(x)
+            return dev, lambda x: dev.spmm(x)
+        if self.name.startswith("bsr_pallas:"):
+            from cask_tpu.ops.pallas.bsr_kernels import BsrSpmmKernel
+
+            b = int(self.name.split(":")[1])
+            kern = BsrSpmmKernel.plan(csr_to_bsr(a, (b, b)), k=k or 1)
+            return kern, kern.__call__
+        raise ValueError(f"unknown variant {self.name!r}")
+
+
+def _dtype_bytes(dt) -> int:
+    return jnp.dtype(dt).itemsize
+
+
+def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
+                       include_pallas: bool = True) -> List[Variant]:
+    m, n = a.shape
+    nnz = a.nnz
+    db = _dtype_bytes(a.dtype)
+    kk = k or 1
+    xbytes = n * db * kk + m * db * kk
+
+    out: List[Variant] = [Variant("csr_xla", nnz * (db * kk + 4) + xbytes)]
+
+    for b, fill_pct in zip(Signature.BLOCK_PROBE, sig.block_fill):
+        if b not in _BSR_CANDIDATES:
+            continue
+        fill = max(fill_pct, 1) / 100.0
+        stored = nnz / fill  # entries incl. block fill
+        est = stored * db * kk / min(b, kk) + (stored / (b * b)) * 4 + xbytes
+        # XLA block variant profits once fill is decent
+        if fill >= 0.35:
+            out.append(Variant(f"bsr_xla:{b}", stored * (db * kk / 1) / b + xbytes))
+        if include_pallas and fill >= 0.3 and k:
+            out.append(Variant(f"bsr_pallas:{b}", est))
+
+    if include_pallas:
+        # diagonal kernel: traffic = ndiag * m; estimate ndiag from bandwidth
+        from cask_tpu.ops.dia import estimate_dia_traffic
+
+        est = estimate_dia_traffic(a)
+        if est is not None:
+            out.append(Variant("dia_pallas", est * db * kk + xbytes))
+    return out
+
+
+@dataclasses.dataclass
+class TunedSpmv:
+    """A matrix bound to its tuned kernel — the user-facing product of
+    tuning (cask analog: the per-matrix generated architecture)."""
+
+    variant: str
+    matrix: object  # device-side matrix/plan in the winning format
+    _fn: Callable
+    signature_key: str
+    seconds_per_op: Optional[float] = None
+
+    def __call__(self, x):
+        return self._fn(x)
+
+
+def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
+         time_budget: int = 3, include_pallas: bool = True,
+         force: bool = False) -> TunedSpmv:
+    """Pick the fastest kernel variant for matrix ``a`` (SpMV, or SpMM
+    with ``k`` dense columns); cache the winner by sparsity signature.
+
+    ``time_budget``: how many top analytic candidates to actually time.
+    """
+    if not isinstance(a, CSR):
+        from cask_tpu.formats.convert import bsr_to_csr, coo_to_csr
+        from cask_tpu.formats.matrix import BSR, COO
+
+        if isinstance(a, COO):
+            a = coo_to_csr(a)
+        elif isinstance(a, BSR):
+            a = bsr_to_csr(a)
+        else:
+            raise TypeError(f"cannot tune {type(a)}")
+
+    cache = cache or default_cache()
+    sig = compute_signature(a)
+    cache_key = f"{sig.key()}:k={k or 0}"
+
+    if not force:
+        hit = cache.get(cache_key)
+        if hit is not None:
+            var = Variant(hit["variant"], 0.0)
+            dev, fn = var.build(a, k)
+            return TunedSpmv(
+                variant=var.name, matrix=dev, _fn=fn, signature_key=cache_key,
+                seconds_per_op=hit.get("seconds_per_op"),
+            )
+
+    variants = enumerate_variants(a, sig, k, include_pallas=include_pallas)
+    variants.sort(key=lambda v: v.est_bytes)
+    candidates = variants[: max(time_budget, 1)]
+
+    n = a.shape[1]
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((n, k) if k else n).astype(np.dtype(a.dtype)))
+
+    best = None
+    for var in candidates:
+        try:
+            dev, fn = var.build(a, k)
+            meas = measure(fn, x0)
+            log.info("tune %s: variant=%s t=%.3g s/op reliable=%s",
+                     cache_key, var.name, meas.seconds_per_iter, meas.reliable)
+            if not np.isfinite(meas.checksum):
+                continue
+            if best is None or meas.seconds_per_iter < best[1]:
+                best = (var, meas.seconds_per_iter, dev, fn)
+        except Exception as e:  # a variant failing to build/compile is data
+            log.warning("tune %s: variant %s failed: %s", cache_key, var.name, e)
+
+    if best is None:  # always possible: csr_xla
+        var = Variant("csr_xla", 0.0)
+        dev, fn = var.build(a, k)
+        best = (var, float("nan"), dev, fn)
+
+    var, secs, dev, fn = best
+    cache.put(cache_key, {"variant": var.name, "seconds_per_op": secs,
+                          "shape": list(a.shape), "nnz": int(a.nnz)})
+    return TunedSpmv(variant=var.name, matrix=dev, _fn=fn,
+                     signature_key=cache_key, seconds_per_op=secs)

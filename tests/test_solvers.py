@@ -1,0 +1,94 @@
+"""Krylov solvers (cask analog: R7 CG solver demo), device-resident loops."""
+
+import jax
+import numpy as np
+import pytest
+
+from cask_tpu.formats.convert import to_scipy
+from cask_tpu.formats.generate import banded, stencil_2d
+from cask_tpu.ops.ilu import ilu0
+from cask_tpu.solvers import bicgstab, cg, gmres
+
+
+def _spd():
+    return stencil_2d(12)  # 144×144 SPD
+
+
+class TestCG:
+    def test_converges_on_spd(self):
+        a = _spd()
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(a.shape[0])
+        res = cg(a, b, tol=1e-10, maxiter=500)
+        assert bool(res.converged)
+        x_ref = np.linalg.solve(to_scipy(a).toarray(), b)
+        np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)
+
+    def test_jittable_end_to_end(self):
+        a = _spd().device_put()
+        rng = np.random.default_rng(1)
+        b = rng.standard_normal(a.shape[0])
+
+        @jax.jit
+        def solve(mat, rhs):
+            return cg(mat, rhs, tol=1e-8, maxiter=300).x
+
+        x = solve(a, b)
+        np.testing.assert_allclose(
+            to_scipy(a) @ np.asarray(x), b, rtol=1e-6, atol=1e-7
+        )
+
+    def test_ilu_preconditioning_reduces_iterations(self):
+        a = _spd()
+        rng = np.random.default_rng(2)
+        b = rng.standard_normal(a.shape[0])
+        plain = cg(a, b, tol=1e-8, maxiter=500)
+        f = ilu0(a, use_native=False)
+        pre = cg(a, b, tol=1e-8, maxiter=500, M=f.apply)
+        assert bool(pre.converged)
+        assert int(pre.iterations) < int(plain.iterations)
+
+    def test_operator_callable(self):
+        a = _spd()
+        rng = np.random.default_rng(3)
+        b = rng.standard_normal(a.shape[0])
+        from cask_tpu import spmv
+
+        dev = a.device_put()
+        res = cg(lambda v: spmv(dev, v), b, tol=1e-9, maxiter=500)
+        assert bool(res.converged)
+
+
+class TestBiCGStab:
+    def test_nonsymmetric(self):
+        a = banded(150, 3, seed=4, spd=True)  # diagonally dominant, nonsym
+        rng = np.random.default_rng(5)
+        b = rng.standard_normal(150)
+        res = bicgstab(a, b, tol=1e-9, maxiter=400)
+        assert bool(res.converged)
+        np.testing.assert_allclose(
+            to_scipy(a) @ np.asarray(res.x), b, rtol=1e-6, atol=1e-7
+        )
+
+
+class TestGMRES:
+    def test_nonsymmetric(self):
+        a = banded(120, 2, seed=6, spd=True)
+        rng = np.random.default_rng(7)
+        b = rng.standard_normal(120)
+        res = gmres(a, b, tol=1e-8, restart=40, maxiter=20)
+        assert bool(res.converged)
+        np.testing.assert_allclose(
+            to_scipy(a) @ np.asarray(res.x), b, rtol=1e-5, atol=1e-6
+        )
+
+    def test_with_ilu(self):
+        a = _spd()
+        rng = np.random.default_rng(8)
+        b = rng.standard_normal(a.shape[0])
+        f = ilu0(a, use_native=False)
+        res = gmres(a, b, tol=1e-8, restart=20, maxiter=30, M=f.apply)
+        assert bool(res.converged)
+        np.testing.assert_allclose(
+            to_scipy(a) @ np.asarray(res.x), b, rtol=1e-5, atol=1e-6
+        )

@@ -1,0 +1,71 @@
+"""SpGEMM (A·A, A·B) vs scipy (BASELINE config 4: graph matrices)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from cask_tpu import spgemm
+from cask_tpu.formats.convert import from_scipy, to_scipy
+from cask_tpu.formats.generate import power_law, random_uniform, stencil_2d
+from cask_tpu.ops.spgemm import spgemm_plan
+
+
+def _close(c, ref):
+    ref = ref.tocsr()
+    ref.sum_duplicates()
+    ref.eliminate_zeros()
+    got = to_scipy(c)
+    got.eliminate_zeros()
+    d = abs(got - ref)
+    assert d.nnz == 0 or d.max() < 1e-10
+
+
+class TestSpgemm:
+    def test_aa_graph(self):
+        a = power_law(300, avg_degree=5, seed=1)
+        c = spgemm(a)
+        _close(c, to_scipy(a) @ to_scipy(a))
+
+    def test_aa_stencil(self):
+        a = stencil_2d(15)
+        c = spgemm(a)
+        _close(c, to_scipy(a) @ to_scipy(a))
+
+    def test_ab_rectangular(self):
+        a = random_uniform(80, 120, density=0.05, seed=2)
+        b = random_uniform(120, 60, density=0.05, seed=3)
+        c = spgemm(a, b)
+        _close(c, to_scipy(a) @ to_scipy(b))
+
+    def test_plan_reuse_across_values(self):
+        rs = np.random.RandomState(0)
+        s1 = sp.random(70, 70, density=0.08, format="csr", random_state=rs)
+        s2 = s1.copy()
+        s2.data = rs.standard_normal(s2.nnz)
+        a1, a2 = from_scipy(s1), from_scipy(s2)
+        plan = spgemm_plan(a1, a1)
+        c1 = plan.numeric(a1.data, a1.data)
+        c2 = plan.numeric(a2.data, a2.data)
+        _close(c1, s1 @ s1)
+        _close(c2, s2 @ s2)
+
+    def test_empty_rows(self):
+        s = sp.csr_matrix((5, 5))
+        s[1, 2] = 3.0
+        a = from_scipy(s.tocsr())
+        c = spgemm(a)
+        _close(c, s @ s)
+
+    def test_structure_matches_scipy(self):
+        a = power_law(200, avg_degree=4, seed=4)
+        plan = spgemm_plan(a, a)
+        ref = (to_scipy(a) @ to_scipy(a)).tocsr()
+        ref.sum_duplicates()
+        # structural nnz equal (we keep explicit numerical zeros; scipy may too)
+        assert plan.nnz == ref.nnz
+
+    def test_dimension_mismatch_raises(self):
+        a = random_uniform(10, 20, density=0.2)
+        b = random_uniform(30, 10, density=0.2)
+        with pytest.raises(ValueError):
+            spgemm(a, b)

@@ -1,0 +1,79 @@
+"""SpMM (sparse × dense tall-skinny) vs scipy (BASELINE config 3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cask_tpu import spmm
+from cask_tpu.formats.convert import csr_to_bsr, csr_to_coo, to_scipy
+from cask_tpu.formats.generate import banded, fem_blocks, power_law, stencil_2d
+from cask_tpu.ops.dia import dia_plan
+
+MATS = {
+    "banded": lambda: banded(301, 5, seed=1),
+    "stencil": lambda: stencil_2d(18),
+    "fem": lambda: fem_blocks(8, dof=4),
+    "powerlaw": lambda: power_law(400, avg_degree=6, seed=2),
+}
+
+
+def _X(a, k, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((a.shape[1], k))
+
+
+@pytest.mark.parametrize("name", list(MATS))
+@pytest.mark.parametrize("k", [32, 128])
+class TestSpmm:
+    def test_csr(self, name, k):
+        a = MATS[name]()
+        x = _X(a, k)
+        y = spmm(a, x, method="xla")
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-10)
+
+    def test_coo(self, name, k):
+        a = MATS[name]()
+        x = _X(a, k)
+        y = spmm(csr_to_coo(a), x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-10)
+
+    def test_bsr(self, name, k):
+        a = MATS[name]()
+        x = _X(a, k)
+        y = spmm(csr_to_bsr(a, 4), x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-10)
+
+    def test_csr_transpose(self, name, k):
+        a = MATS[name]()
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((a.shape[0], k))
+        y = spmm(a, x, transpose=True)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a).T @ x, rtol=1e-12, atol=1e-10)
+
+    def test_bsr_transpose(self, name, k):
+        a = MATS[name]()
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((a.shape[0], k))
+        y = spmm(csr_to_bsr(a, 4), x, transpose=True)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a).T @ x, rtol=1e-12, atol=1e-10)
+
+
+class TestSpmmDia:
+    @pytest.mark.parametrize("k", [32, 128])
+    def test_dia_xla(self, k):
+        a = stencil_2d(18)
+        x = _X(a, k)
+        d = dia_plan(a)
+        y = d._spmm_xla(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-10)
+
+    @pytest.mark.parametrize("k", [32, 128])
+    def test_dia_pallas_interpret(self, k):
+        a = banded(9000, 2, seed=5)
+        x = _X(a, k)
+        d = dia_plan(a)
+        from cask_tpu.ops.pallas.dia_kernels import dia_spmm_pallas, pallas_ok
+
+        assert pallas_ok(d, k=k)
+        y = dia_spmm_pallas(d, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-10)

@@ -1,0 +1,140 @@
+"""SpMV vs scipy ground truth (BASELINE config 1: f64 CSR exact-ish).
+
+Matrix classes mirror the SuiteSparse classes cask benchmarked on
+(banded/FEM/stencil + graph), generated synthetically (no network)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cask_tpu import spmv
+from cask_tpu.formats.convert import csr_to_bsr, csr_to_coo, to_scipy
+from cask_tpu.formats.generate import banded, fem_blocks, power_law, stencil_2d, suite
+from cask_tpu.ops.dia import dia_plan
+
+
+def _x(a, seed=0, k=None):
+    rng = np.random.default_rng(seed)
+    n = a.shape[1]
+    return rng.standard_normal(n).astype(np.asarray(a.data).dtype)
+
+
+MATS = {
+    "banded": lambda: banded(301, 5, seed=1),
+    "stencil": lambda: stencil_2d(20),
+    "fem": lambda: fem_blocks(9, dof=4),
+    "powerlaw": lambda: power_law(500, avg_degree=6, seed=2),
+}
+
+
+@pytest.mark.parametrize("name", list(MATS))
+class TestSpmvFormats:
+    def _check(self, a, x, y, rtol=1e-12):
+        ref = to_scipy(a) @ x
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=rtol, atol=1e-12)
+
+    def test_csr_f64(self, name):
+        a = MATS[name]()
+        x = _x(a)
+        y = spmv(a, x, method="xla")
+        self._check(a, x, y)
+
+    def test_coo(self, name):
+        a = MATS[name]()
+        x = _x(a)
+        y = spmv(csr_to_coo(a), x)
+        self._check(a, x, y)
+
+    @pytest.mark.parametrize("bs", [2, 4, 8])
+    def test_bsr(self, name, bs):
+        a = MATS[name]()
+        x = _x(a)
+        y = spmv(csr_to_bsr(a, bs), x)
+        self._check(a, x, y)
+
+    def test_csr_transpose(self, name):
+        a = MATS[name]()
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(a.shape[0])
+        y = spmv(a, x, transpose=True)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a).T @ x, rtol=1e-12)
+
+    def test_bsr_transpose(self, name):
+        a = MATS[name]()
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal(a.shape[0])
+        y = spmv(csr_to_bsr(a, 4), x, transpose=True)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a).T @ x, rtol=1e-12)
+
+    def test_jit_with_matrix_argument(self, name):
+        a = MATS[name]().device_put()
+        x = jnp.asarray(_x(a))
+        f = jax.jit(lambda mat, v: spmv(mat, v))
+        np.testing.assert_allclose(np.asarray(f(a, x)), to_scipy(a) @ np.asarray(x), rtol=1e-12)
+
+
+class TestSpmvDia:
+    @pytest.mark.parametrize("name", ["banded", "stencil", "fem"])
+    def test_dia_xla(self, name):
+        a = MATS[name]()
+        x = _x(a)
+        d = dia_plan(a)
+        y = d._spmv_xla(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12)
+
+    def test_dia_remainder_split(self):
+        a = power_law(400, avg_degree=6, seed=3)
+        x = _x(a)
+        d = dia_plan(a, min_density=0.5)  # force most entries into remainder
+        assert d.rem_data.shape[0] > 0
+        y = d._spmv_xla(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12)
+
+    def test_dia_pallas_interpret(self):
+        # pallas path needs m_pad multiple of 8192 → use a big-enough matrix
+        a = banded(9000, 3, seed=4)
+        x = _x(a)
+        d = dia_plan(a)
+        from cask_tpu.ops.pallas.dia_kernels import dia_spmv_pallas, pallas_ok
+
+        assert pallas_ok(d, k=None)
+        y = dia_spmv_pallas(d, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12)
+
+    def test_dia_pallas_negative_and_large_offsets(self):
+        a = stencil_2d(95)  # 9025 rows → m_pad 16384; offsets ±95, ±1, 0
+        x = _x(a)
+        d = dia_plan(a)
+        from cask_tpu.ops.pallas.dia_kernels import dia_spmv_pallas, pallas_ok
+
+        assert pallas_ok(d, k=None)
+        y = dia_spmv_pallas(d, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12)
+
+
+class TestConfig1:
+    """BASELINE config 1: ~2k-row SuiteSparse-style matrix, f64, vs scipy."""
+
+    def test_bcsstk_like_f64_exact(self):
+        mats = suite("small")
+        a = mats["bcsstk_like"]
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(a.shape[1])
+        y = spmv(a, x, method="xla")
+        ref = to_scipy(a) @ x
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-12, atol=0)
+
+    def test_f32_accumulation_bound(self):
+        a = suite("small")["stencil5_45x45"]
+        a32 = type(a)(
+            data=np.asarray(a.data, dtype=np.float32),
+            indices=a.indices,
+            indptr=a.indptr,
+            shape=a.shape,
+        )
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(a.shape[1]).astype(np.float32)
+        y = spmv(a32, x)
+        ref = to_scipy(a) @ x.astype(np.float64)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,118 @@
+"""Sparse triangular solve + ILU(0) (BASELINE T5)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from cask_tpu.formats.convert import from_scipy, to_scipy
+from cask_tpu.formats.generate import banded, stencil_2d
+from cask_tpu.ops.ilu import ilu0
+from cask_tpu.ops.trisolve import compute_levels, trisolve, trisolve_plan
+
+
+def _tri_scipy(n, density, lower=True, seed=0, unit=False):
+    rs = np.random.RandomState(seed)
+    s = sp.random(n, n, density=density, format="csr", random_state=rs)
+    s = sp.tril(s, k=-1) if lower else sp.triu(s, k=1)
+    diag = np.ones(n) if unit else (rs.rand(n) + 1.0)
+    s = (s + sp.diags(diag)).tocsr()
+    s.sum_duplicates()
+    return s
+
+
+class TestTrisolve:
+    @pytest.mark.parametrize("lower", [True, False])
+    def test_random_triangle(self, lower):
+        s = _tri_scipy(150, 0.05, lower=lower, seed=1)
+        a = from_scipy(s)
+        rng = np.random.default_rng(2)
+        b = rng.standard_normal(150)
+        x = trisolve(a, b, lower=lower)
+        ref = spla.spsolve_triangular(s.tocsr(), b, lower=lower)
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-10)
+
+    def test_unit_diag(self):
+        s = _tri_scipy(100, 0.05, lower=True, seed=3, unit=True)
+        a = from_scipy(s)
+        b = np.random.default_rng(4).standard_normal(100)
+        x = trisolve(a, b, lower=True, unit_diag=True)
+        ref = spla.spsolve_triangular(s.tocsr(), b, lower=True)
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-10)
+
+    def test_banded_many_levels(self):
+        s = _tri_scipy(300, 0.0, lower=True, seed=5)
+        # add the first subdiagonal → a chain: worst-case level count
+        s = (s + sp.diags(np.ones(299), -1)).tocsr()
+        a = from_scipy(s)
+        b = np.random.default_rng(6).standard_normal(300)
+        plan = trisolve_plan(a, lower=True)
+        assert plan.nlevels == 300
+        x = plan.solve(np.asarray(a.data), b)
+        ref = spla.spsolve_triangular(s, b, lower=True)
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-9)
+
+    def test_diagonal_only_one_level(self):
+        s = sp.diags(np.arange(1.0, 51.0)).tocsr()
+        a = from_scipy(s)
+        plan = trisolve_plan(a, lower=True)
+        assert plan.nlevels == 1
+        b = np.ones(50)
+        x = plan.solve(np.asarray(a.data), b)
+        np.testing.assert_allclose(np.asarray(x), 1.0 / np.arange(1.0, 51.0))
+
+    def test_wrong_side_raises(self):
+        s = _tri_scipy(20, 0.1, lower=True, seed=7)
+        a = from_scipy(s)
+        with pytest.raises(ValueError):
+            trisolve_plan(a, lower=False)
+
+    def test_levels_parallelism(self):
+        # stencil lower triangle: levels ≈ anti-diagonals, each level wide
+        a = from_scipy(sp.tril(to_scipy(stencil_2d(12))).tocsr())
+        plan = trisolve_plan(a, lower=True)
+        assert plan.nlevels < a.shape[0] / 2
+        assert plan.max_rows > 1
+
+
+class TestILU0:
+    def _pattern_residual(self, a_csr, lu_csr):
+        """‖(L·U − A)‖ restricted to A's pattern — the ILU(0) invariant."""
+        s = to_scipy(a_csr)
+        low, up = lu_csr.split()
+        prod = (to_scipy(low) @ to_scipy(up)).tocsr()
+        mask = s.copy()
+        mask.data = np.ones_like(mask.data)
+        diff = (prod.multiply(mask) - s)
+        return 0.0 if diff.nnz == 0 else abs(diff).max()
+
+    def test_spd_stencil(self):
+        a = stencil_2d(10)
+        f = ilu0(a, use_native=False)
+        assert self._pattern_residual(a, f) < 1e-10
+
+    def test_banded(self):
+        a = banded(200, 4, seed=8, spd=True)
+        f = ilu0(a, use_native=False)
+        assert self._pattern_residual(a, f) < 1e-10
+
+    def test_apply_is_good_preconditioner(self):
+        a = stencil_2d(10)
+        f = ilu0(a, use_native=False)
+        rng = np.random.default_rng(9)
+        b = rng.standard_normal(a.shape[0])
+        z = np.asarray(f.apply(b))
+        # M⁻¹ A should be much better conditioned than A
+        dense = to_scipy(a).toarray()
+        err = np.linalg.norm(dense @ z - b) / np.linalg.norm(b)
+        assert err < 0.6  # ILU(0) of a stencil is a strong preconditioner
+
+    def test_exact_for_no_fill_pattern(self):
+        # tridiagonal: ILU(0) == exact LU (no fill-in exists)
+        a = banded(100, 1, seed=10, spd=True)
+        f = ilu0(a, use_native=False)
+        rng = np.random.default_rng(11)
+        b = rng.standard_normal(100)
+        x = np.asarray(f.apply(b))
+        ref = np.linalg.solve(to_scipy(a).toarray(), b)
+        np.testing.assert_allclose(x, ref, rtol=1e-8)
