@@ -97,6 +97,22 @@ def csr_to_bsr(a: CSR, blocksize: Union[int, Tuple[int, int]]) -> BSR:
         blocksize = (blocksize, blocksize)
     br, bc = int(blocksize[0]), int(blocksize[1])
     m, n = a.shape
+
+    # native fast path (f64; the C ABI is double) for non-trivial sizes
+    if a.nnz > 200_000 and np.dtype(a.dtype) == np.float64:
+        try:
+            from cask_tpu.native import binding as nat
+
+            bindptr, bindices, bdata = nat.csr_to_bsr_arrays(
+                m, n, np.asarray(a.indptr), np.asarray(a.indices),
+                np.asarray(a.data), br, bc,
+            )
+            return BSR(data=bdata, indices=bindices, indptr=bindptr,
+                       shape=(m, n), blocksize=(br, bc))
+        except Exception:
+            pass  # numpy fallback below
+
+
     indptr = np.asarray(a.indptr, dtype=np.int64)
     indices = np.asarray(a.indices, dtype=np.int64)
     data = np.asarray(a.data)

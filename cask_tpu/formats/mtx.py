@@ -63,26 +63,40 @@ def read_mtx(path_or_file, *, dtype=np.float64, format: str = "csr") -> Union[CS
             coo = coo_from_arrays(dense[r, c].astype(dtype), r, c, (m, n))
         else:
             m, n, nnz = int(dims[0]), int(dims[1]), int(dims[2])
-            raw = f.read().split()
-            per = 2 if field == "pattern" else (4 if field == "complex" else 3)
-            if len(raw) < nnz * per:
-                raise ValueError("truncated MatrixMarket body")
-            arr = np.asarray(raw[: nnz * per], dtype=np.float64).reshape(nnz, per)
-            row = arr[:, 0].astype(np.int64) - 1
-            col = arr[:, 1].astype(np.int64) - 1
-            if field == "pattern":
-                data = np.ones(nnz, dtype=dtype)
-            elif field == "complex":
-                data = arr[:, 2].astype(dtype)  # keep real part
-            else:
-                data = arr[:, 2].astype(dtype)
+            body = f.read()
+            row = col = data = None
+            if nnz > 100_000:  # native parser for big files
+                try:
+                    from cask_tpu.native import binding as nat
+
+                    fcode = {"pattern": 0, "complex": 2}.get(field, 1)
+                    r32, c32, v = nat.parse_mtx_body(
+                        body.encode() if isinstance(body, str) else body, nnz, fcode
+                    )
+                    row = r32.astype(np.int64)
+                    col = c32.astype(np.int64)
+                    data = v.astype(dtype)
+                except Exception:
+                    row = None
+            if row is None:
+                raw = body.split()
+                per = 2 if field == "pattern" else (4 if field == "complex" else 3)
+                if len(raw) < nnz * per:
+                    raise ValueError("truncated MatrixMarket body")
+                arr = np.asarray(raw[: nnz * per], dtype=np.float64).reshape(nnz, per)
+                row = arr[:, 0].astype(np.int64) - 1
+                col = arr[:, 1].astype(np.int64) - 1
+                if field == "pattern":
+                    data = np.ones(nnz, dtype=dtype)
+                else:
+                    data = arr[:, 2].astype(dtype)  # complex keeps real part
+            if data.size and (row.min() < 0 or col.min() < 0):
+                raise ValueError("MatrixMarket indices must be 1-based positive")
             if symmetry in ("symmetric", "hermitian", "skew-symmetric"):
                 off = row != col
                 s = -1.0 if symmetry == "skew-symmetric" else 1.0
-                row = np.concatenate([row, col[off]])
-                col2 = np.concatenate([col, arr[:, 0].astype(np.int64)[off] - 1])
+                row, col = np.concatenate([row, col[off]]), np.concatenate([col, row[off]])
                 data = np.concatenate([data, s * data[off]])
-                col = col2
             coo = coo_from_arrays(data, row, col, (m, n))
     finally:
         if should_close:

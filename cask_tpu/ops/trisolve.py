@@ -51,8 +51,28 @@ def compute_levels(rows: np.ndarray, cols: np.ndarray, n: int, lower: bool) -> n
     """Level of each row (0-based) via vectorized frontier propagation.
 
     O(nnz) total work: each pass retires the rows whose remaining
-    dependency count hit zero and decrements their dependents.
+    dependency count hit zero and decrements their dependents.  The
+    native core computes the same thing with a single sequential sweep
+    (dependencies always point to earlier rows after triangular
+    ordering); this numpy version is the fallback/reference.
     """
+    try:
+        from cask_tpu.native import binding as nat
+
+        # the native sweep processes rows in ascending order, which is a
+        # topological order only for lower patterns — reflect upper ones
+        r = rows if lower else (n - 1 - rows)
+        c = cols if lower else (n - 1 - cols)
+        order = np.argsort(r, kind="stable")
+        sptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(sptr, r + 1, 1)
+        sptr = np.cumsum(sptr)
+        lv, _ = nat.levels_lower(n, sptr, c[order])
+        lv = lv.astype(np.int64)
+        # undo the reflection: original row i lives at reflected slot n-1-i
+        return lv if lower else np.ascontiguousarray(lv[::-1])
+    except Exception:
+        pass
     # dependency edges: row r depends on row c (strict triangle entries)
     dep_counts = np.zeros(n, dtype=np.int64)
     np.add.at(dep_counts, rows, 1)

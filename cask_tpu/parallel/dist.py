@@ -1,0 +1,231 @@
+"""Multi-chip SpMV/SpMM execution over a device mesh (BASELINE T7/T8).
+
+The comm backend is XLA collectives compiled onto ICI/DCN — the
+TPU-native equivalent of a NCCL/MPI layer (SURVEY.md §5) — so the work
+here is partitioning, halo minimization, and *overlap*: every kernel is
+written so the bulk of the local compute has no data dependence on the
+collective's result, letting the XLA scheduler run the `ppermute` /
+`all_gather` DMA concurrently with the interior FMAs:
+
+    y_interior = f(local values, local x)      # big, collective-free
+    halo       = ppermute(edge slices)         # in flight meanwhile
+    y          = y_interior + fixup(halo)      # tiny edge correction
+
+Verified overlap is a bench-time obligation (SURVEY.md §7 hard-part (d));
+the structure here is what makes it *possible*.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cask_tpu.parallel.partition import CooPartition, DiaPartition
+
+AXIS = "shards"
+
+
+def row_mesh(nshards: Optional[int] = None, *, devices=None) -> Mesh:
+    """1-D mesh over the row-partition axis.
+
+    Axis type Auto: solvers run unmodified on sharded vectors (dots
+    become psums via GSPMD propagation) without explicit out_sharding
+    annotations at every contraction."""
+    devices = devices if devices is not None else jax.devices()
+    nshards = nshards or len(devices)
+    return jax.make_mesh(
+        (nshards,), (AXIS,), devices=devices[:nshards],
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-shard compute bodies (run inside shard_map; leading shard axis == 1)
+# ---------------------------------------------------------------------------
+
+
+def _sq(x):
+    return x.reshape(x.shape[1:])
+
+
+def _coo_local(plan: CooPartition, x_loc, axis: str):
+    """Interior/exterior split: interior is independent of the gather."""
+    int_data, int_row, int_col = _sq(plan.int_data), _sq(plan.int_row), _sq(plan.int_col)
+    ext_data, ext_row, ext_col = _sq(plan.ext_data), _sq(plan.ext_row), _sq(plan.ext_col)
+    xg = jax.lax.all_gather(x_loc, axis, tiled=True)  # (P*mloc,) — async vs interior
+    y = jax.ops.segment_sum(int_data * x_loc[int_col], int_row, num_segments=plan.mloc)
+    y = y + jax.ops.segment_sum(ext_data * xg[ext_col], ext_row, num_segments=plan.mloc)
+    return y
+
+
+def _coo_local_mm(plan: CooPartition, x_loc, axis: str):
+    int_data, int_row, int_col = _sq(plan.int_data), _sq(plan.int_row), _sq(plan.int_col)
+    ext_data, ext_row, ext_col = _sq(plan.ext_data), _sq(plan.ext_row), _sq(plan.ext_col)
+    xg = jax.lax.all_gather(x_loc, axis, tiled=True)  # (P*mloc, k)
+    y = jax.ops.segment_sum(int_data[:, None] * x_loc[int_col], int_row, num_segments=plan.mloc)
+    y = y + jax.ops.segment_sum(ext_data[:, None] * xg[ext_col], ext_row, num_segments=plan.mloc)
+    return y
+
+
+def _ring_halo(x_loc, lo: int, hi: int, axis: str, nshards: int):
+    """Exchange edge slices with ring neighbors.
+
+    left[j]  = x of global row (base - lo + j)   (from shard p-1)
+    right[j] = x of global row (base + mloc + j) (from shard p+1)
+
+    Wraparound shards receive garbage, but every matrix value referring
+    past the global edge is a structural zero, so the product vanishes.
+    """
+    fwd = [(p, (p + 1) % nshards) for p in range(nshards)]
+    bwd = [(p, (p - 1) % nshards) for p in range(nshards)]
+    left = jax.lax.ppermute(x_loc[-lo:] if lo else x_loc[:0], axis, fwd) if lo else None
+    right = jax.lax.ppermute(x_loc[:hi] if hi else x_loc[:0], axis, bwd) if hi else None
+    return left, right
+
+
+def _dia_local(plan: DiaPartition, x_loc, axis: str):
+    vals = _sq(plan.vals)  # (D, mloc)
+    mloc = plan.mloc
+    lo, hi = plan.halo_lo, plan.halo_hi
+
+    # 1. start the ring exchange (and the remainder's all_gather)
+    left, right = _ring_halo(x_loc, lo, hi, axis, plan.nshards)
+    y_rem = _coo_local(plan.remainder, x_loc, axis) if plan.remainder is not None else None
+
+    # 2. interior: shifted FMAs against zero-padded local x — no halo dep
+    xp = jnp.zeros(lo + mloc + hi, x_loc.dtype).at[lo : lo + mloc].set(x_loc)
+    y = jnp.zeros(mloc, dtype=jnp.result_type(vals.dtype, x_loc.dtype))
+    for d, off in enumerate(plan.offsets):
+        y = y + vals[d] * jax.lax.dynamic_slice(xp, (lo + off,), (mloc,))
+
+    # 3. tiny edge fix-ups once the halo lands
+    for d, off in enumerate(plan.offsets):
+        if off < 0 and lo:
+            w = -off
+            y = y.at[:w].add(vals[d, :w] * jax.lax.dynamic_slice(left, (lo + off,), (w,)))
+        elif off > 0 and hi:
+            w = off
+            y = y.at[mloc - w :].add(vals[d, mloc - w :] * right[:w])
+    if y_rem is not None:
+        y = y + y_rem
+    return y
+
+
+def _dia_local_mm(plan: DiaPartition, x_loc, axis: str):
+    vals = _sq(plan.vals)
+    mloc = plan.mloc
+    lo, hi = plan.halo_lo, plan.halo_hi
+    k = x_loc.shape[1]
+
+    left, right = _ring_halo(x_loc, lo, hi, axis, plan.nshards)
+    y_rem = _coo_local_mm(plan.remainder, x_loc, axis) if plan.remainder is not None else None
+
+    xp = jnp.zeros((lo + mloc + hi, k), x_loc.dtype).at[lo : lo + mloc].set(x_loc)
+    y = jnp.zeros((mloc, k), dtype=jnp.result_type(vals.dtype, x_loc.dtype))
+    for d, off in enumerate(plan.offsets):
+        xs = jax.lax.dynamic_slice(xp, (lo + off, 0), (mloc, k))
+        y = y + vals[d][:, None] * xs
+
+    for d, off in enumerate(plan.offsets):
+        if off < 0 and lo:
+            w = -off
+            y = y.at[:w].add(
+                vals[d, :w, None] * jax.lax.dynamic_slice(left, (lo + off, 0), (w, k))
+            )
+        elif off > 0 and hi:
+            w = off
+            y = y.at[mloc - w :].add(vals[d, mloc - w :, None] * right[:w])
+    if y_rem is not None:
+        y = y + y_rem
+    return y
+
+
+# ---------------------------------------------------------------------------
+# user-facing executor
+# ---------------------------------------------------------------------------
+
+
+class DistSpmv:
+    """A partitioned matrix bound to a mesh; callable on global vectors.
+
+    ``DistSpmv(plan, mesh)(x)`` accepts a global ``x`` (host or device,
+    any sharding), returns the global ``y`` sharded over the mesh.  For
+    device-resident iteration (solvers), use :meth:`padded` + the
+    returned sharded arrays so no host round-trips occur.
+    """
+
+    def __init__(self, plan, mesh: Optional[Mesh] = None):
+        self.plan = plan
+        self.mesh = mesh if mesh is not None else row_mesh(plan.nshards)
+        if self.mesh.shape[AXIS] != plan.nshards:
+            raise ValueError(
+                f"plan has {plan.nshards} shards but mesh axis '{AXIS}' "
+                f"has {self.mesh.shape[AXIS]} devices"
+            )
+        self._xsharding = NamedSharding(self.mesh, P(AXIS))
+        local = _dia_local if isinstance(plan, DiaPartition) else _coo_local
+        local_mm = _dia_local_mm if isinstance(plan, DiaPartition) else _coo_local_mm
+
+        plan_specs = jax.tree.map(lambda _: P(AXIS), plan)
+
+        self._spmv = jax.jit(
+            shard_map(
+                partial(local, axis=AXIS),
+                mesh=self.mesh,
+                in_specs=(plan_specs, P(AXIS)),
+                out_specs=P(AXIS),
+            )
+        )
+        self._spmm = jax.jit(
+            shard_map(
+                partial(local_mm, axis=AXIS),
+                mesh=self.mesh,
+                in_specs=(plan_specs, P(AXIS, None)),
+                out_specs=P(AXIS, None),
+            )
+        )
+        self.plan_dev = jax.device_put(
+            plan, jax.tree.map(lambda s: NamedSharding(self.mesh, s), plan_specs)
+        )
+
+    @property
+    def padded_n(self) -> int:
+        return self.plan.nshards * self.plan.mloc
+
+    def padded(self, x):
+        """Pad a global vector/matrix to P*mloc rows and shard it."""
+        x = jnp.asarray(x)
+        pad = self.padded_n - x.shape[0]
+        xp = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        if x.ndim == 1:
+            return jax.device_put(xp, self._xsharding)
+        return jax.device_put(xp, NamedSharding(self.mesh, P(AXIS, None)))
+
+    def _unpad(self, y):
+        m = self.plan.shape[0]
+        if y.shape[0] == m:
+            return y
+        # XLA can't express a slice of a sharded dim when m doesn't
+        # divide the mesh, so the convenience path replicates first;
+        # scale users keep padded shapes via `padded_op`.
+        y = jax.device_put(y, NamedSharding(self.mesh, P()))
+        return y[:m]
+
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            return self._unpad(self._spmv(self.plan_dev, self.padded(x)))
+        return self._unpad(self._spmm(self.plan_dev, self.padded(x)))
+
+    def padded_op(self, xp):
+        """Operator on already-padded, sharded vectors (for solvers):
+        keeps everything device-resident with zero reshard traffic."""
+        if xp.ndim == 1:
+            return self._spmv(self.plan_dev, xp)
+        return self._spmm(self.plan_dev, xp)

@@ -1,0 +1,198 @@
+"""Host-side matrix partitioning for multi-chip execution (BASELINE T7).
+
+cask had no multi-accelerator story (single DFE); the distribution layer
+is specified by BASELINE.json: row/block-partition across chips, halo
+vector segments exchanged with ``jax.lax`` collectives overlapped with
+local compute.
+
+Partitioning contract (shape-uniform so one ``shard_map`` program serves
+every shard): ``P`` contiguous row blocks of identical padded size
+``mloc``; per-shard index arrays padded to the max across shards with
+structural zeros (row 0 / col 0 / value 0 — harmless in segment sums).
+
+Two plans are built here:
+
+- :class:`CooPartition` — any matrix.  Entries are split per shard into
+  *interior* (column owned locally) and *exterior* (column elsewhere);
+  the exterior part indexes an all-gathered x.  Interior compute has no
+  data dependence on the collective, which is what lets XLA overlap the
+  all-gather with it.
+- :class:`DiaPartition` — banded matrices (the ≥10M-row config-5 class).
+  Each shard holds its slice of every packed diagonal; only ``lo``/``hi``
+  edge elements are needed from the ring neighbors (`ppermute`), and the
+  big diagonal FMA work depends only on local x — the halo fix-up
+  touches just the first/last rows.  This is SpMV's ring-exchange analog
+  of sequence parallelism (SURVEY.md §2 parallelism inventory).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from cask_tpu.formats.matrix import CSR
+
+_INT = np.int32
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CooPartition:
+    """Row-partitioned COO with interior/exterior split (general matrices)."""
+
+    # interior: columns local to the shard (remapped to local indices)
+    int_data: jax.Array  # (P, Ei)
+    int_row: jax.Array  # (P, Ei) local row
+    int_col: jax.Array  # (P, Ei) local col
+    # exterior: columns owned by other shards (global indices into
+    # the padded gathered vector of length P*mloc)
+    ext_data: jax.Array  # (P, Ee)
+    ext_row: jax.Array  # (P, Ee) local row
+    ext_col: jax.Array  # (P, Ee) padded-global col
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nshards: int = dataclasses.field(metadata=dict(static=True))
+    mloc: int = dataclasses.field(metadata=dict(static=True))
+
+    def device_put(self, device=None) -> "CooPartition":
+        return jax.tree.map(lambda x: jax.device_put(x, device), self)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DiaPartition:
+    """Row-partitioned diagonal pack + ring halo (banded matrices).
+
+    ``vals[p, d, r]`` is ``A[p*mloc + r, p*mloc + r + offsets[d]]``.
+    Entries outside the band go into an embedded :class:`CooPartition`
+    remainder (may be empty).
+    """
+
+    vals: jax.Array  # (P, D, mloc)
+    remainder: Optional[CooPartition]  # exterior-style COO or None
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nshards: int = dataclasses.field(metadata=dict(static=True))
+    mloc: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def halo_lo(self) -> int:
+        return -min(min(self.offsets), 0)
+
+    @property
+    def halo_hi(self) -> int:
+        return max(max(self.offsets), 0)
+
+    def device_put(self, device=None) -> "DiaPartition":
+        return jax.tree.map(lambda x: jax.device_put(x, device), self)
+
+
+def _pad_rows(groups, P, width, fill=0, dtype=_INT):
+    out = np.full((P, width), fill, dtype=dtype)
+    for p, g in enumerate(groups):
+        out[p, : g.shape[0]] = g
+    return out
+
+
+def partition_coo(a: CSR, nshards: int) -> CooPartition:
+    """Row-partition any CSR into the interior/exterior COO plan."""
+    m, n = a.shape
+    P = nshards
+    mloc = _ceil_div(m, P)
+    indptr = np.asarray(a.indptr, dtype=np.int64)
+    indices = np.asarray(a.indices, dtype=np.int64)
+    data = np.asarray(a.data)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+
+    owner_row = rows // mloc
+    owner_col = indices // mloc  # x is partitioned identically (square-ish)
+    interior = owner_row == owner_col
+
+    gi = [None] * P
+    ge = [None] * P
+    for p in range(P):
+        mine = owner_row == p
+        mi = mine & interior
+        me = mine & ~interior
+        gi[p] = (data[mi], rows[mi] - p * mloc, indices[mi] - p * mloc)
+        # exterior columns as *padded global* index: shard q, local c →
+        # q*mloc + c (identity here since x layout is contiguous padded)
+        ge[p] = (data[me], rows[me] - p * mloc, indices[me])
+
+    Ei = max((g[0].shape[0] for g in gi), default=0) or 1
+    Ee = max((g[0].shape[0] for g in ge), default=0) or 1
+    return CooPartition(
+        int_data=jax.numpy.asarray(_pad_rows([g[0] for g in gi], P, Ei, 0.0, data.dtype)),
+        int_row=jax.numpy.asarray(_pad_rows([g[1] for g in gi], P, Ei)),
+        int_col=jax.numpy.asarray(_pad_rows([g[2] for g in gi], P, Ei)),
+        ext_data=jax.numpy.asarray(_pad_rows([g[0] for g in ge], P, Ee, 0.0, data.dtype)),
+        ext_row=jax.numpy.asarray(_pad_rows([g[1] for g in ge], P, Ee)),
+        ext_col=jax.numpy.asarray(_pad_rows([g[2] for g in ge], P, Ee)),
+        shape=(m, n),
+        nshards=P,
+        mloc=mloc,
+    )
+
+
+def partition_dia(a: CSR, nshards: int, *, min_density: float = 0.10,
+                  max_diags: int = 256, max_halo: Optional[int] = None) -> DiaPartition:
+    """Row-partition a banded CSR into per-shard diagonal slices.
+
+    Diagonals whose |offset| exceeds ``max_halo`` (default ``mloc``) spill
+    to the remainder — a halo wider than a whole shard would need
+    multi-hop exchange, which the all-gather remainder already covers.
+    """
+    m, n = a.shape
+    if m != n:
+        raise ValueError("DiaPartition requires a square matrix")
+    P = nshards
+    mloc = _ceil_div(m, P)
+    max_halo = max_halo if max_halo is not None else mloc
+
+    indptr = np.asarray(a.indptr, dtype=np.int64)
+    indices = np.asarray(a.indices, dtype=np.int64)
+    data = np.asarray(a.data)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+    offs = indices - rows
+
+    uniq, counts = np.unique(offs, return_counts=True)
+    diag_len = np.minimum(np.minimum(m, n - uniq), np.minimum(n, m + uniq))
+    density = counts / np.maximum(diag_len, 1)
+    keep = (density >= min_density) & (np.abs(uniq) <= max_halo)
+    if keep.sum() > max_diags:
+        keep &= counts >= np.sort(counts[keep])[-max_diags]
+    kept = uniq[keep]
+    if kept.size == 0:
+        kept = np.array([0], dtype=np.int64)
+
+    in_dia = np.isin(offs, kept)
+    D = kept.size
+    vals = np.zeros((P, D, mloc), dtype=data.dtype)
+    d_ids = np.searchsorted(kept, offs[in_dia])
+    r = rows[in_dia]
+    vals[r // mloc, d_ids, r % mloc] = data[in_dia]
+
+    rem = None
+    n_rem = int((~in_dia).sum())
+    if n_rem:
+        from cask_tpu.formats.convert import coo_from_arrays, coo_to_csr
+
+        rem_csr = coo_to_csr(
+            coo_from_arrays(data[~in_dia], rows[~in_dia], indices[~in_dia], (m, n))
+        )
+        rem = partition_coo(rem_csr, P)
+
+    return DiaPartition(
+        vals=jax.numpy.asarray(vals),
+        remainder=rem,
+        offsets=tuple(int(o) for o in kept),
+        shape=(m, n),
+        nshards=P,
+        mloc=mloc,
+    )

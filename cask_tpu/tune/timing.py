@@ -1,25 +1,29 @@
-"""On-device kernel timing for the autotuner.
+"""On-device kernel timing for the autotuner and benches.
 
 The axon-proxied TPU in this container breaks every naive timing recipe
 (SURVEY.md §8.2): ``block_until_ready`` does not await real execution and
 host fetches of device buffers cost seconds.  The protocol here follows
 §8.4's mandated design:
 
-1. run the candidate k times *inside one compiled computation*, chaining a
-   data dependence between iterations so XLA cannot elide them,
-2. end in a scalar reduction and fetch only that scalar (cheap, and
-   fetching forces completion),
+1. run the candidate k times *inside one compiled computation*.  Each
+   iteration consumes a *distinct* pre-built input (slices of one
+   stacked buffer) so XLA cannot CSE the calls, and a scalar
+   accumulator threads through the loop so none can be elided; inputs
+   are pre-built so the loop adds no elementwise traffic that would
+   pollute a bandwidth measurement,
+2. end in a scalar reduction and fetch only that scalar (the fetch
+   forces completion),
 3. time two iteration counts (k₁ < k₂) and difference the wall clocks to
-   cancel fixed dispatch/fetch overhead,
-4. sanity-check linearity; a candidate whose timings are not roughly
-   linear in k is re-measured once and otherwise marked unreliable.
+   cancel fixed dispatch/compile/fetch overhead,
+4. repeat and keep measurements only when the two estimates agree
+   (linearity sanity check); otherwise mark unreliable.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -29,51 +33,56 @@ import jax.numpy as jnp
 class Measurement:
     seconds_per_iter: float
     reliable: bool
-    checksum: float  # scalar output, doubles as correctness canary
+    checksum: float  # scalar folded over every iteration's output
 
 
-def _iterate(step: Callable, x0, k: int):
-    """Run ``x ← normalize(step(x))`` k times with a data dependence.
+def _make_inputs(x0, k: int):
+    """k distinct copies of x0 (tiny relative perturbation, so kernels
+    see realistic values but XLA sees different buffers)."""
+    scales = (1.0 + jnp.arange(k, dtype=x0.dtype) * jnp.asarray(1e-6, x0.dtype))
+    return x0[None] * scales.reshape((k,) + (1,) * x0.ndim)
 
-    Normalizing keeps values from over/underflowing over many iterations
-    while preserving the memory-traffic profile of a single step.
-    """
 
-    def body(i, x):
-        y = step(x)
-        # cheap renorm: scale by a scalar derived from y (data dependence)
-        s = jnp.abs(y[..., :1].reshape(-1)[0]) + 1.0
-        return y / jnp.where(jnp.isfinite(s) & (s > 0), s, 1.0)
+def _iterate(step: Callable, xs, k: int):
+    def body(i, acc):
+        y = step(xs[i])
+        flat = y.reshape(-1)
+        return acc + jnp.mean(jnp.abs(flat[:128]).astype(jnp.float32))
 
-    xk = jax.lax.fori_loop(0, k, body, x0)
-    return jnp.sum(jnp.abs(xk.reshape(-1)[:128]))
+    return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
 
 def measure(step: Callable, x0, *, k1: int = 4, k2: int = 20,
-            tol_rel: float = 0.35, jit_kwargs: Optional[dict] = None) -> Measurement:
+            tol_rel: float = 0.35) -> Measurement:
     """Seconds per application of ``step`` on the current default device."""
-    jit_kwargs = jit_kwargs or {}
-    f = jax.jit(_iterate, static_argnums=(0, 2), **jit_kwargs)
+    x0 = jnp.asarray(x0)
+    # cap the stacked-input buffer at ~2 GB for very large operands
+    max_k = int((2 << 30) / max(x0.size * x0.dtype.itemsize, 1))
+    k2 = max(min(k2, max_k), k1 + 2)
+    xs2 = _make_inputs(x0, k2)
+    xs1 = xs2[:k1]
+    f = jax.jit(_iterate, static_argnums=(0, 2))
 
-    def run(k):
+    def run(xs, k):
         t0 = time.perf_counter()
-        val = float(f(step, x0, k))  # scalar fetch forces completion
+        val = float(f(step, xs, k))  # scalar fetch forces completion
         return time.perf_counter() - t0, val
 
-    # warm-up / compile both variants
-    run(k1)
-    run(k2)
-    t1, v1 = run(k1)
-    t2, _ = run(k2)
+    # warm-up compiles for both iteration counts
+    run(xs1, k1)
+    run(xs2, k2)
+    t1, v1 = run(xs1, k1)
+    t2, _ = run(xs2, k2)
     per_iter = (t2 - t1) / (k2 - k1)
     # linearity check: redo and compare
-    t1b, _ = run(k1)
-    t2b, _ = run(k2)
+    t1b, _ = run(xs1, k1)
+    t2b, _ = run(xs2, k2)
     per_iter_b = (t2b - t1b) / (k2 - k1)
     reliable = (
         per_iter > 0
         and per_iter_b > 0
         and abs(per_iter - per_iter_b) <= tol_rel * max(per_iter, per_iter_b)
     )
-    best = min(x for x in (per_iter, per_iter_b) if x > 0) if (per_iter > 0 or per_iter_b > 0) else float("inf")
+    cands = [x for x in (per_iter, per_iter_b) if x > 0]
+    best = min(cands) if cands else float("inf")
     return Measurement(seconds_per_iter=best, reliable=reliable, checksum=v1)

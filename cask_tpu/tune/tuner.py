@@ -78,33 +78,47 @@ def _dtype_bytes(dt) -> int:
 
 def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
                        include_pallas: bool = True) -> List[Variant]:
+    """Analytic HBM-traffic model per variant (the DSE performance-model
+    analog, SURVEY.md §3.2) — ranks candidates before any compile.
+
+    Per SpMV/SpMM application, modeled bytes:
+    - ``csr_xla``:    values+indices, plus the gathered-X and partial
+      product arrays XLA materializes (2·nnz·k·db)
+    - ``bsr_xla:b``:  same shape but gathers/partials are per *block*
+      (÷ b), at the cost of ``stored ≥ nnz`` block fill
+    - ``dia_pallas``: streamed diagonals once (k-independent) + X/Y
+    - ``bsr_pallas:b``: values once + per-block X slice DMA (kp·db·/b)
+    """
     m, n = a.shape
     nnz = a.nnz
     db = _dtype_bytes(a.dtype)
     kk = k or 1
-    xbytes = n * db * kk + m * db * kk
+    kp = max(128, -(-kk // 128) * 128) if k else 1  # lane-padded dense width
+    xbytes = (n + m) * db * kk
 
-    out: List[Variant] = [Variant("csr_xla", nnz * (db * kk + 4) + xbytes)]
+    out: List[Variant] = [
+        Variant("csr_xla", nnz * (db + 4) + 2.0 * nnz * db * kk + xbytes)
+    ]
 
     for b, fill_pct in zip(Signature.BLOCK_PROBE, sig.block_fill):
         if b not in _BSR_CANDIDATES:
             continue
         fill = max(fill_pct, 1) / 100.0
         stored = nnz / fill  # entries incl. block fill
-        est = stored * db * kk / min(b, kk) + (stored / (b * b)) * 4 + xbytes
-        # XLA block variant profits once fill is decent
         if fill >= 0.35:
-            out.append(Variant(f"bsr_xla:{b}", stored * (db * kk / 1) / b + xbytes))
+            est = stored * db + (stored / (b * b)) * 4 + 2.0 * stored * db * kk / b + xbytes
+            out.append(Variant(f"bsr_xla:{b}", est))
         if include_pallas and fill >= 0.3 and k:
+            est = stored * db + (stored / (b * b)) * 4 + stored * kp * db / b + m * kp * db
             out.append(Variant(f"bsr_pallas:{b}", est))
 
     if include_pallas:
-        # diagonal kernel: traffic = ndiag * m; estimate ndiag from bandwidth
+        # diagonal kernel: streamed entries are k-independent
         from cask_tpu.ops.dia import estimate_dia_traffic
 
         est = estimate_dia_traffic(a)
         if est is not None:
-            out.append(Variant("dia_pallas", est * db * kk + xbytes))
+            out.append(Variant("dia_pallas", est * db + 1.5 * xbytes))
     return out
 
 

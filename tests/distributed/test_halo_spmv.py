@@ -1,0 +1,110 @@
+"""Distributed SpMV/SpMM on the fake 8-device CPU mesh (SURVEY.md §4.3).
+
+This is the multi-host "simulation mode": the same shard_map/ppermute
+program the driver dry-runs and the pod slice executes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cask_tpu.formats.convert import to_scipy
+from cask_tpu.formats.generate import banded, power_law, stencil_2d
+from cask_tpu.parallel import DistSpmv, partition_coo, partition_dia, row_mesh
+
+
+def _mesh(p):
+    return row_mesh(p)
+
+
+MATS = {
+    "banded": lambda: banded(1000, 4, seed=1),
+    "stencil": lambda: stencil_2d(33),  # 1089 rows, offsets ±33
+    "powerlaw": lambda: power_law(800, avg_degree=5, seed=2),
+}
+
+
+@pytest.mark.parametrize("p", [2, 4, 8])
+@pytest.mark.parametrize("name", list(MATS))
+class TestCooPartition:
+    def test_spmv(self, p, name):
+        a = MATS[name]()
+        plan = partition_coo(a, p)
+        op = DistSpmv(plan, _mesh(p))
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(a.shape[1])
+        y = op(x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-12)
+
+    def test_spmm(self, p, name):
+        a = MATS[name]()
+        plan = partition_coo(a, p)
+        op = DistSpmv(plan, _mesh(p))
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((a.shape[1], 16))
+        y = op(x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("p", [2, 4, 8])
+class TestDiaPartition:
+    @pytest.mark.parametrize("name", ["banded", "stencil"])
+    def test_spmv_banded(self, p, name):
+        a = MATS[name]()
+        plan = partition_dia(a, p)
+        assert plan.remainder is None or plan.remainder.ext_data.shape[1] >= 1
+        op = DistSpmv(plan, _mesh(p))
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(a.shape[1])
+        y = op(x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-12)
+
+    def test_spmv_with_remainder(self, p):
+        a = power_law(600, avg_degree=5, seed=3)
+        plan = partition_dia(a, p, min_density=0.4)
+        assert plan.remainder is not None
+        op = DistSpmv(plan, _mesh(p))
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(a.shape[1])
+        y = op(x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-12)
+
+    def test_spmm(self, p):
+        a = banded(1000, 4, seed=4)
+        plan = partition_dia(a, p)
+        op = DistSpmv(plan, _mesh(p))
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((a.shape[1], 8))
+        y = op(x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-12)
+
+    def test_wide_halo_spills_to_remainder(self, p):
+        # offsets wider than a shard must not use the single-hop ring
+        a = banded(256, 2, seed=5)
+        import scipy.sparse as sp
+
+        s = to_scipy(a) + sp.diags(np.ones(256 - 200), -200, shape=(256, 256))
+        from cask_tpu.formats.convert import from_scipy
+
+        plan = partition_dia(from_scipy(s.tocsr()), p)
+        assert all(abs(o) <= plan.mloc for o in plan.offsets)
+        op = DistSpmv(plan, _mesh(p))
+        x = np.random.default_rng(5).standard_normal(256)
+        np.testing.assert_allclose(np.asarray(op(x)), s @ x, rtol=1e-12, atol=1e-12)
+
+
+class TestDeviceResidentSolve:
+    def test_distributed_cg(self):
+        """CG iterating on sharded vectors with the halo-exchange SpMV."""
+        from cask_tpu.solvers import cg
+
+        a = stencil_2d(32)  # SPD, 1024 rows
+        p = 8
+        plan = partition_dia(a, p)
+        op = DistSpmv(plan, _mesh(p))
+        rng = np.random.default_rng(6)
+        b = rng.standard_normal(a.shape[0])
+        bp = op.padded(b)
+        res = cg(op.padded_op, bp, tol=1e-10, maxiter=600)
+        x = np.asarray(res.x)[: a.shape[0]]
+        np.testing.assert_allclose(to_scipy(a) @ x, b, rtol=1e-6, atol=1e-7)

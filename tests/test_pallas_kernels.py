@@ -1,0 +1,85 @@
+"""Pallas kernels in interpret mode (the DFE-simulation analog, SURVEY §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cask_tpu.formats.convert import csr_to_bsr, to_scipy
+from cask_tpu.formats.generate import banded, fem_blocks, stencil_2d
+from cask_tpu.ops.dia import dia_plan
+from cask_tpu.ops.pallas.bsr_kernels import BsrSpmmKernel, bsr_spmm_pallas
+
+
+class TestBsrSpmm:
+    @pytest.mark.parametrize("bs", [4, 8, 16])
+    @pytest.mark.parametrize("k", [32, 128])
+    def test_fem(self, bs, k):
+        a = fem_blocks(9, dof=4)
+        b = csr_to_bsr(a, bs)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((a.shape[1], k))
+        y = bsr_spmm_pallas(b, x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-10)
+
+    def test_k_not_multiple_of_lane(self):
+        a = stencil_2d(10)
+        b = csr_to_bsr(a, 4)
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((a.shape[1], 20))
+        y = bsr_spmm_pallas(b, x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-10)
+
+    def test_plan_reuse(self):
+        a = banded(200, 3, seed=2)
+        b = csr_to_bsr(a, 8)
+        kern = BsrSpmmKernel.plan(b, k=32)
+        rng = np.random.default_rng(3)
+        for seed in range(2):
+            x = rng.standard_normal((a.shape[1], 32))
+            y = kern(jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-10)
+
+    def test_ragged_rows(self):
+        # rows with very different block counts exercise ELL padding
+        import scipy.sparse as sp
+
+        from cask_tpu.formats.convert import from_scipy
+
+        rs = np.random.RandomState(4)
+        s = sp.random(96, 96, density=0.02, format="csr", random_state=rs)
+        s = s + sp.diags(np.ones(96))
+        a = from_scipy(s.tocsr())
+        b = csr_to_bsr(a, 8)
+        x = rs.standard_normal((96, 32))
+        y = bsr_spmm_pallas(b, x)
+        np.testing.assert_allclose(np.asarray(y), s @ x, rtol=1e-12, atol=1e-10)
+
+
+class TestDiaEdgeCases:
+    def test_single_diagonal(self):
+        import scipy.sparse as sp
+
+        from cask_tpu.formats.convert import from_scipy
+
+        s = sp.diags(np.arange(1.0, 9001.0)).tocsr()
+        d = dia_plan(from_scipy(s))
+        from cask_tpu.ops.pallas.dia_kernels import dia_spmv_pallas
+
+        x = np.random.default_rng(5).standard_normal(9000)
+        y = dia_spmv_pallas(d, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), s @ x, rtol=1e-12)
+
+    def test_offset_multiple_of_lane(self):
+        # off % 128 == 0 path (no lane roll)
+        import scipy.sparse as sp
+
+        from cask_tpu.formats.convert import from_scipy
+
+        n = 9000
+        s = (sp.diags(np.ones(n)) + sp.diags(np.ones(n - 256), 256)).tocsr()
+        d = dia_plan(from_scipy(s))
+        from cask_tpu.ops.pallas.dia_kernels import dia_spmv_pallas
+
+        x = np.random.default_rng(6).standard_normal(n)
+        y = dia_spmv_pallas(d, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), s @ x, rtol=1e-12)

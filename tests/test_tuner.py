@@ -1,0 +1,92 @@
+"""Autotuner (cask DSE analog): variant search, timing, cache."""
+
+import numpy as np
+import pytest
+
+from cask_tpu import tune
+from cask_tpu.formats.convert import to_scipy
+from cask_tpu.formats.generate import banded, fem_blocks, power_law, stencil_2d
+from cask_tpu.formats.signature import signature
+from cask_tpu.tune.timing import measure
+from cask_tpu.tune.tuner import enumerate_variants
+
+
+class TestEnumerate:
+    def test_always_has_fallback(self):
+        for mat in (stencil_2d(10), power_law(300, seed=1)):
+            vs = enumerate_variants(mat, signature(mat), None)
+            assert any(v.name == "csr_xla" for v in vs)
+
+    def test_banded_proposes_dia(self):
+        a = banded(500, 3, seed=2)
+        vs = enumerate_variants(a, signature(a), None)
+        assert any(v.name == "dia_pallas" for v in vs)
+        # dia should be predicted cheapest for a pure band
+        best = min(vs, key=lambda v: v.est_bytes)
+        assert best.name == "dia_pallas"
+
+    def test_powerlaw_skips_dia(self):
+        a = power_law(500, avg_degree=5, seed=3)
+        vs = enumerate_variants(a, signature(a), None)
+        assert not any(v.name == "dia_pallas" for v in vs)
+
+    def test_blocky_proposes_bsr(self):
+        a = fem_blocks(10, dof=4)
+        vs = enumerate_variants(a, signature(a), 32)
+        assert any(v.name.startswith("bsr") for v in vs)
+
+
+class TestTune:
+    def test_result_correct_and_cached(self, tmp_tuner_cache):
+        a = stencil_2d(16)
+        t1 = tune(a, cache=tmp_tuner_cache, time_budget=2)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(a.shape[1])
+        y = t1(x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-10, atol=1e-10)
+        # second call: cache hit (same variant, no re-timing)
+        t2 = tune(a, cache=tmp_tuner_cache)
+        assert t2.variant == t1.variant
+        assert tmp_tuner_cache.get(t1.signature_key) is not None
+
+    def test_spmm_mode(self, tmp_tuner_cache):
+        a = fem_blocks(8, dof=4)
+        t = tune(a, k=32, cache=tmp_tuner_cache, time_budget=2)
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((a.shape[1], 32))
+        y = t(x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-10, atol=1e-9)
+
+    def test_cache_distinguishes_k(self, tmp_tuner_cache):
+        a = stencil_2d(12)
+        t1 = tune(a, cache=tmp_tuner_cache, time_budget=1)
+        t2 = tune(a, k=32, cache=tmp_tuner_cache, time_budget=1)
+        assert t1.signature_key != t2.signature_key
+
+
+class TestMeasure:
+    def test_linear_and_reliable_on_cpu(self):
+        import jax.numpy as jnp
+
+        a = stencil_2d(40)
+        from cask_tpu import spmv
+
+        dev = a.device_put()
+        x0 = jnp.asarray(np.random.default_rng(2).standard_normal(a.shape[1]))
+        m = measure(lambda v: spmv(dev, v), x0, k1=3, k2=9)
+        assert m.seconds_per_iter > 0
+        assert np.isfinite(m.checksum)
+
+    def test_distinct_inputs_prevent_cse(self):
+        # the checksum must reflect k distinct applications
+        import jax.numpy as jnp
+
+        calls = []
+
+        def step(v):
+            calls.append(1)
+            return v * 2.0
+
+        x0 = jnp.ones(256)
+        m = measure(step, x0, k1=3, k2=9)
+        assert np.isfinite(m.checksum)
