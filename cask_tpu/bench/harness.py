@@ -1,0 +1,123 @@
+"""Benchmark harness: structured JSON-lines records over matrix suites.
+
+cask analog: the benchmark scripts (SURVEY.md §2 R8) — fetch matrices,
+sweep configurations, emit CSV.  Here: synthetic suites (no network,
+SURVEY.md §8.4) or user ``.mtx`` files, tuned-variant sweeps, JSON-lines
+records of {matrix, op, variant, nnz/s, GB/s, roofline %} (§5 metrics
+plan).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import Iterable, Optional, TextIO
+
+import jax.numpy as jnp
+import numpy as np
+
+from cask_tpu.bench.roofline import chip_bandwidth, spmv_traffic
+from cask_tpu.formats.matrix import CSR
+from cask_tpu.tune.timing import measure
+from cask_tpu.tune.tuner import Variant, enumerate_variants, tune
+from cask_tpu.formats.signature import signature
+
+
+def bench_matrix(name: str, a: CSR, *, k: Optional[int] = None,
+                 variants: Optional[Iterable[str]] = None,
+                 dtype=np.float32, out: TextIO = sys.stdout) -> list:
+    """Time variants of SpMV (or SpMM-k) on one matrix; emit JSON lines."""
+    a = CSR(
+        data=np.asarray(a.data, dtype=dtype),
+        indices=a.indices,
+        indptr=a.indptr,
+        shape=a.shape,
+    )
+    sig = signature(a)
+    if variants is None:
+        cand = enumerate_variants(a, sig, k)
+        cand.sort(key=lambda v: v.est_bytes)
+        cand = cand[:3]
+    else:
+        cand = [Variant(v, 0.0) for v in variants]
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(
+        rng.standard_normal((a.shape[1], k) if k else a.shape[1]).astype(dtype)
+    )
+    records = []
+    for var in cand:
+        rec = {
+            "matrix": name,
+            "op": f"spmm_k{k}" if k else "spmv",
+            "variant": var.name,
+            "rows": a.shape[0],
+            "nnz": a.nnz,
+            "dtype": str(np.dtype(dtype)),
+            "ts": time.time(),
+        }
+        try:
+            dev, fn = var.build(a, k)
+            meas = measure(fn, x0)
+            traffic = spmv_traffic(dev if not callable(dev) else a, var.name, k or 1)
+            rec.update(traffic.record(meas.seconds_per_iter))
+            rec["reliable"] = meas.reliable
+        except Exception as e:  # noqa: BLE001 — failed variants are data
+            rec["error"] = f"{type(e).__name__}: {e}"
+        records.append(rec)
+        print(json.dumps(rec), file=out, flush=True)
+    return records
+
+
+def bench_suite(size: str = "small", *, k: Optional[int] = None,
+                dtype=np.float32, out: TextIO = sys.stdout) -> list:
+    from cask_tpu.formats.generate import suite
+
+    all_recs = []
+    for name, a in suite(size).items():
+        all_recs += bench_matrix(name, a, k=k, dtype=dtype, out=out)
+    return all_recs
+
+
+def bench_scaling(side: int = 512, *, nshards_list=(1, 2, 4, 8),
+                  out: TextIO = sys.stdout) -> list:
+    """Weak-ish scaling of the distributed halo SpMV on the current mesh.
+
+    Fixed problem per shard count would be weak scaling on real pods; on
+    a fake CPU mesh this validates program structure and records the
+    efficiency metric shape (BASELINE T9).
+    """
+    import jax
+
+    from cask_tpu.formats.generate import stencil_2d
+    from cask_tpu.parallel import DistSpmv, partition_dia, row_mesh
+
+    ndev = len(jax.devices())
+    records = []
+    base_t = None
+    for p in nshards_list:
+        if p > ndev:
+            continue
+        a = stencil_2d(int(side * np.sqrt(p)), dtype=np.float32)  # weak scaling
+        plan = partition_dia(a, p)
+        op = DistSpmv(plan, row_mesh(p))
+        xp = op.padded(np.random.default_rng(0).standard_normal(a.shape[0]).astype(np.float32))
+        meas = measure(op.padded_op, xp)
+        per_row = meas.seconds_per_iter / a.shape[0]
+        rec = {
+            "op": "dist_spmv_weak_scaling",
+            "nshards": p,
+            "rows": a.shape[0],
+            "seconds_per_op": meas.seconds_per_iter,
+            "ns_per_row": per_row * 1e9,
+            "reliable": meas.reliable,
+        }
+        if base_t is None:
+            base_t = per_row
+            rec["efficiency"] = 1.0
+        else:
+            rec["efficiency"] = round(base_t / per_row, 4)
+        records.append(rec)
+        print(json.dumps(rec), file=out, flush=True)
+    return records

@@ -220,21 +220,53 @@ def estimate_dia_traffic(a: CSR, *, min_density: float = 0.10,
 # Conveniences used by cask_tpu.ops.spmv/spmm dispatch -----------------------
 
 
+def transpose_plan(a: DiaMatrix) -> DiaMatrix:
+    """Plan for ``Aᵀ``: diagonal d of A at offset k is diagonal of Aᵀ at
+    offset −k, with values shifted along the diagonal by k.
+
+    ``Aᵀ[r, r−k] = A[r−k, r]`` ⇒ ``valsᵀ[d', r] = vals[d, r − k]``.
+    Host-side one-time shuffle (numpy), like every other plan build.
+    """
+    m, n = a.shape
+    vals = np.asarray(a.vals)
+    new_vals = np.zeros((vals.shape[0], _round_up(max(n, 1), _ROW_TILE)), vals.dtype)
+    new_offsets = []
+    for d, off in enumerate(a.offsets):
+        new_off = -off
+        # rows r of Aᵀ with entry at col r+new_off ⇔ A rows r+new_off
+        src = vals[d]
+        if off >= 0:
+            # Aᵀ[r, r-off] for r in [off, min(m,n-?)+off): shift right by off
+            new_vals[d, off : off + src.shape[0] - off] = src[: src.shape[0] - off]
+        else:
+            k = -off
+            new_vals[d, : src.shape[0] - k] = src[k:]
+        new_offsets.append(new_off)
+    return DiaMatrix(
+        vals=jnp.asarray(new_vals),
+        rem_data=a.rem_data,
+        rem_row=a.rem_col,
+        rem_col=a.rem_row,
+        offsets=tuple(new_offsets),
+        shape=(n, m),
+    )
+
+
 def spmv_dia(a, x, *, transpose: bool = False, accum_dtype=None):
-    if transpose:
-        raise NotImplementedError("transpose DIA SpMV: transpose the plan instead")
     if isinstance(a, CSR):
         a = dia_plan(a)
     if not isinstance(a, DiaMatrix):
         raise TypeError(f"spmv_dia needs CSR or DiaMatrix, got {type(a)}")
+    if transpose:
+        a = transpose_plan(a)
     return a.spmv(x)
 
 
 def spmm_dia(a, x, *, transpose: bool = False, accum_dtype=None):
-    if transpose:
-        raise NotImplementedError("transpose DIA SpMM: transpose the plan instead")
     if isinstance(a, CSR):
         a = dia_plan(a)
     if not isinstance(a, DiaMatrix):
         raise TypeError(f"spmm_dia needs CSR or DiaMatrix, got {type(a)}")
+    if transpose:
+        a = transpose_plan(a)
     return a.spmm(x)

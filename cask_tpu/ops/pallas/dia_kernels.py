@@ -66,12 +66,14 @@ def pallas_ok(a: "_dia.DiaMatrix", k: Optional[int]) -> bool:
 
 
 def _roll_lanes(x, s: int, interpret: bool):
-    """roll left by s lanes (static s) — np.roll(x, -s, axis=-1)."""
+    """roll left by s lanes (static s) — np.roll(x, -s, axis=last).
+
+    ``pltpu.roll`` requires a positive axis index and non-negative shift;
+    it matches np.roll semantics (verified in interpret mode, which runs
+    the same primitive so CPU tests cover the TPU path)."""
     if s == 0:
         return x
-    if interpret:
-        return jnp.roll(x, -s, axis=-1)
-    return pltpu.roll(x, -s % _LANE, axis=-1)
+    return pltpu.roll(x, (_LANE - s) % _LANE, axis=x.ndim - 1)
 
 
 def _shifted_window(x_ref, row0, s: int, tm: int, interpret: bool):
