@@ -32,21 +32,21 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from cask_tpu.formats.generate import stencil_2d
-    from cask_tpu.ops.dia import dia_plan
+    from cask_tpu.formats.device_gen import stencil2d_dia_device
     from cask_tpu.tune.timing import measure
 
     on_tpu = jax.default_backend() == "tpu"
     HBM_BW = 819e9  # v5e spec; roofline denominator
 
     side = int(os.environ.get("CASK_BENCH_SIDE", "1024"))
-    a = stencil_2d(side, dtype=np.float32)
-    m = a.shape[0]
-    nnz = a.nnz
-
-    dia = dia_plan(a).device_put()
-    rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    # build on device: the axon relay moves host buffers pathologically
+    # slowly (SURVEY §8.2), and production hosts skip a PCIe copy too
+    dia = stencil2d_dia_device(side, dtype=jnp.float32)
+    m = dia.shape[0]
+    nnz = 5 * m - 4 * side  # 5-point stencil
+    x0 = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(0), (m,), jnp.float32)
+    )()
 
     # bytes actually moved per SpMV: streamed diagonals + x read + y write
     bytes_per_op = dia.traffic_bytes + 2 * m * 4

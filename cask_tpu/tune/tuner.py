@@ -55,14 +55,15 @@ class Variant:
             if k is None:
                 return dev, lambda x: spmv(dev, x, method="xla")
             return dev, lambda x: spmm(dev, x, method="xla")
-        if self.name == "dia_pallas":
+        if self.name in ("dia_pallas", "dia_xla"):
             from cask_tpu.ops.dia import dia_plan
 
+            method = "pallas" if self.name == "dia_pallas" else "xla"
             plan = dia_plan(a)
             dev = plan.device_put()
             if k is None:
-                return dev, lambda x: dev.spmv(x)
-            return dev, lambda x: dev.spmm(x)
+                return dev, lambda x: dev.spmv(x, method=method)
+            return dev, lambda x: dev.spmm(x, method=method)
         if self.name.startswith("bsr_pallas:"):
             from cask_tpu.ops.pallas.bsr_kernels import BsrSpmmKernel
 
@@ -112,13 +113,16 @@ def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
             est = stored * db + (stored / (b * b)) * 4 + stored * kp * db / b + m * kp * db
             out.append(Variant(f"bsr_pallas:{b}", est))
 
-    if include_pallas:
-        # diagonal kernel: streamed entries are k-independent
-        from cask_tpu.ops.dia import estimate_dia_traffic
+    # diagonal split: streamed entries are k-independent
+    from cask_tpu.ops.dia import estimate_dia_traffic
 
-        est = estimate_dia_traffic(a)
-        if est is not None:
+    est = estimate_dia_traffic(a)
+    if est is not None:
+        if include_pallas:
             out.append(Variant("dia_pallas", est * db + 1.5 * xbytes))
+        # XLA formulation of the same split: slightly more traffic
+        # (padded-x materialization) but no Pallas size constraints
+        out.append(Variant("dia_xla", est * db + 2.0 * xbytes))
     return out
 
 

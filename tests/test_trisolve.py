@@ -116,3 +116,26 @@ class TestILU0:
         x = np.asarray(f.apply(b))
         ref = np.linalg.solve(to_scipy(a).toarray(), b)
         np.testing.assert_allclose(x, ref, rtol=1e-8)
+
+
+class TestMultiRHS:
+    def test_matrix_rhs(self):
+        s = _tri_scipy(120, 0.05, lower=True, seed=20)
+        a = from_scipy(s)
+        rng = np.random.default_rng(21)
+        B = rng.standard_normal((120, 8))
+        X = trisolve(a, B, lower=True)
+        for j in range(8):
+            ref = spla.spsolve_triangular(s.tocsr(), B[:, j], lower=True)
+            np.testing.assert_allclose(np.asarray(X)[:, j], ref, rtol=1e-10)
+
+    def test_ilu_apply_matrix(self):
+        a = stencil_2d(8)
+        from cask_tpu.ops.ilu import ilu0
+
+        f = ilu0(a, use_native=False)
+        rng = np.random.default_rng(22)
+        B = rng.standard_normal((64, 4))
+        Z = np.asarray(f.apply(B))
+        z0 = np.asarray(f.apply(B[:, 0]))
+        np.testing.assert_allclose(Z[:, 0], z0, rtol=1e-12)
