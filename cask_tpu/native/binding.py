@@ -57,6 +57,15 @@ def _get() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_int32, i32p, i32p, f64p,
         ctypes.c_int32, ctypes.c_int32, i32p, i32p, f64p,
     ]
+    lib.cask_spgemm_count.restype = ctypes.c_int64
+    lib.cask_spgemm_count.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p, i32p, i32p,
+    ]
+    lib.cask_spgemm_fill.restype = None
+    lib.cask_spgemm_fill.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, i32p, i32p, f64p, i32p, i32p, f64p,
+        i32p, i32p, f64p,
+    ]
     _lib = lib
     return lib
 
@@ -127,3 +136,22 @@ def csr_to_bsr_arrays(m, n, indptr, indices, data, br, bc):
         bindices = bindices[:0]
         bdata = bdata[:0]
     return bindptr, bindices, bdata
+
+
+def spgemm(m, n, p, a_indptr, a_indices, a_data, b_indptr, b_indices, b_data):
+    """Full host Gustavson SpGEMM: returns (c_indptr, c_indices, c_data)."""
+    lib = _get()
+    ap, ac = _i32(a_indptr), _i32(a_indices)
+    bp, bc = _i32(b_indptr), _i32(b_indices)
+    av = np.ascontiguousarray(a_data, dtype=np.float64)
+    bv = np.ascontiguousarray(b_data, dtype=np.float64)
+    c_ptr = np.zeros(m + 1, np.int32)
+    nnz = lib.cask_spgemm_count(m, p, ap, ac, bp, bc, c_ptr)
+    if nnz > np.iinfo(np.int32).max:
+        raise OverflowError("SpGEMM result exceeds int32 nnz")
+    c_col = np.zeros(max(nnz, 1), np.int32)
+    c_val = np.zeros(max(nnz, 1), np.float64)
+    lib.cask_spgemm_fill(m, p, ap, ac, av, bp, bc, bv, c_ptr, c_col, c_val)
+    if nnz == 0:
+        c_col, c_val = c_col[:0], c_val[:0]
+    return c_ptr, c_col, c_val

@@ -224,4 +224,56 @@ int64_t cask_bsr_fill(int32_t m, int32_t n, const int32_t* indptr,
   return blocks;
 }
 
+// ---------------------------------------------------------------------------
+// SpGEMM (Gustavson).  Two-pass: count nnz per C row, then fill sorted
+// columns + values.  Dense scratch of size p per pass (the classic
+// sparse-accumulator).  Used when the expansion-based device plan would
+// blow up (heavy-tailed graphs).
+// ---------------------------------------------------------------------------
+int64_t cask_spgemm_count(int32_t m, int32_t p, const int32_t* a_ptr,
+                          const int32_t* a_col, const int32_t* b_ptr,
+                          const int32_t* b_col, int32_t* c_ptr /* m+1 */) {
+  std::vector<int32_t> stamp(p, -1);
+  int64_t total = 0;
+  c_ptr[0] = 0;
+  for (int32_t i = 0; i < m; ++i) {
+    int32_t cnt = 0;
+    for (int32_t t = a_ptr[i]; t < a_ptr[i + 1]; ++t) {
+      const int32_t k = a_col[t];
+      for (int32_t u = b_ptr[k]; u < b_ptr[k + 1]; ++u) {
+        const int32_t j = b_col[u];
+        if (stamp[j] != i) { stamp[j] = i; ++cnt; }
+      }
+    }
+    total += cnt;
+    c_ptr[i + 1] = (int32_t)total;
+  }
+  return total;
+}
+
+void cask_spgemm_fill(int32_t m, int32_t p, const int32_t* a_ptr,
+                      const int32_t* a_col, const double* a_val,
+                      const int32_t* b_ptr, const int32_t* b_col,
+                      const double* b_val, const int32_t* c_ptr,
+                      int32_t* c_col, double* c_val) {
+  std::vector<double> acc(p, 0.0);
+  std::vector<int32_t> stamp(p, -1);
+  std::vector<int32_t> cols;
+  for (int32_t i = 0; i < m; ++i) {
+    cols.clear();
+    for (int32_t t = a_ptr[i]; t < a_ptr[i + 1]; ++t) {
+      const int32_t k = a_col[t];
+      const double av = a_val[t];
+      for (int32_t u = b_ptr[k]; u < b_ptr[k + 1]; ++u) {
+        const int32_t j = b_col[u];
+        if (stamp[j] != i) { stamp[j] = i; acc[j] = 0.0; cols.push_back(j); }
+        acc[j] += av * b_val[u];
+      }
+    }
+    std::sort(cols.begin(), cols.end());
+    int32_t w = c_ptr[i];
+    for (int32_t j : cols) { c_col[w] = j; c_val[w] = acc[j]; ++w; }
+  }
+}
+
 }  // extern "C"

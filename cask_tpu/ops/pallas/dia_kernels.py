@@ -120,6 +120,10 @@ def dia_spmv_pallas(a: "_dia.DiaMatrix", x):
     x2 = xp.reshape(xrows, _LANE)
     v3 = a.vals.reshape(D, T, _SUBL, _LANE)
 
+    # accumulate at ≥f32 even for bf16 value streams
+    out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, x.dtype), jnp.float32) \
+        if a.vals.dtype == jnp.bfloat16 or x.dtype == jnp.bfloat16 \
+        else jnp.promote_types(a.vals.dtype, x.dtype)
     kernel = functools.partial(_spmv_kernel, a.offsets, lo, _interpret())
     out = pl.pallas_call(
         kernel,
@@ -131,7 +135,7 @@ def dia_spmv_pallas(a: "_dia.DiaMatrix", x):
         ],
         out_specs=pl.BlockSpec((_SUBL, _LANE), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T * _SUBL, _LANE), a.vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((T * _SUBL, _LANE), out_dtype),
         interpret=_interpret(),
     )(x2, v3)
     return out.reshape(-1)[:m]
@@ -188,10 +192,13 @@ def dia_spmm_pallas(a: "_dia.DiaMatrix", x):
     xp = xp.at[lo : lo + n, :k].set(x)
 
     resident = xp.shape[0] * kp * db <= _X_VMEM_BUDGET
+    out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, x.dtype), jnp.float32) \
+        if jnp.bfloat16 in (a.vals.dtype, x.dtype) \
+        else jnp.promote_types(a.vals.dtype, x.dtype)
     common = dict(
         grid=(T,),
         out_specs=pl.BlockSpec((tm, kp), lambda t: (t, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T * tm, kp), a.vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((T * tm, kp), out_dtype),
         interpret=_interpret(),
     )
     v_spec = pl.BlockSpec((D, tm), lambda t: (0, t), memory_space=pltpu.VMEM)

@@ -129,17 +129,59 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
     )
 
 
-def spgemm(a: CSR, b: Optional[CSR] = None, *, plan: Optional[SpGEMMPlan] = None) -> CSR:
+def expansion_size(a: CSR, b: CSR) -> int:
+    """Scalar products in A·B (= FLOPs/2) — the expansion-plan footprint."""
+    b_counts = np.diff(np.asarray(b.indptr, dtype=np.int64))
+    return int(b_counts[np.asarray(a.indices, dtype=np.int64)].sum())
+
+
+# Above this expansion size the device plan's index arrays get heavy
+# (≈12 bytes/slot host + device); Gustavson in the native core wins.
+_NATIVE_THRESHOLD = 30_000_000
+
+
+def spgemm_native(a: CSR, b: CSR) -> CSR:
+    """Full host Gustavson SpGEMM via the C++ core (heavy-tailed graphs
+    where the expansion plan blows up).  Returns a host CSR."""
+    from cask_tpu.native import binding as nat
+
+    c_ptr, c_col, c_val = nat.spgemm(
+        a.shape[0], a.shape[1], b.shape[1],
+        np.asarray(a.indptr), np.asarray(a.indices), np.asarray(a.data),
+        np.asarray(b.indptr), np.asarray(b.indices), np.asarray(b.data),
+    )
+    return CSR(
+        data=c_val.astype(np.asarray(a.data).dtype),
+        indices=c_col,
+        indptr=c_ptr,
+        shape=(a.shape[0], b.shape[1]),
+    )
+
+
+def spgemm(a: CSR, b: Optional[CSR] = None, *, plan: Optional[SpGEMMPlan] = None,
+           backend: str = "auto") -> CSR:
     """``C = A @ B`` (``B=None`` means ``A @ A``).
 
-    Convenience wrapper: symbolic on host (or a provided cached ``plan``),
-    numeric on device.  For repeated products with fixed structures, build
-    the plan once with :func:`spgemm_plan` and call ``plan.numeric``.
+    backend:
+    - ``'plan'``   — host symbolic + device numeric (structure cached,
+      values updatable on device; the solver-pipeline mode)
+    - ``'native'`` — one-shot host Gustavson in C++ (big irregular graphs)
+    - ``'auto'``   — native when the expansion would exceed
+      ``_NATIVE_THRESHOLD`` products and the native core is available
     """
     if b is None:
         b = a
     if not isinstance(a, CSR) or not isinstance(b, CSR):
         raise TypeError("spgemm requires CSR operands (convert first)")
-    if plan is None:
-        plan = spgemm_plan(a, b)
-    return plan.numeric(a.data, b.data)
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
+    if plan is not None:
+        return plan.numeric(a.data, b.data)
+    if backend == "native":
+        return spgemm_native(a, b)
+    if backend == "auto" and expansion_size(a, b) > _NATIVE_THRESHOLD:
+        try:
+            return spgemm_native(a, b)
+        except Exception:
+            pass  # fall through to the plan path
+    return spgemm_plan(a, b).numeric(a.data, b.data)

@@ -69,3 +69,32 @@ class TestSpgemm:
         b = random_uniform(30, 10, density=0.2)
         with pytest.raises(ValueError):
             spgemm(a, b)
+
+
+class TestNativeBackend:
+    def test_native_matches_plan(self):
+        import pytest as _pt
+
+        from cask_tpu.native import available
+
+        if not available():
+            _pt.skip("no C++ toolchain")
+        from cask_tpu.ops.spgemm import spgemm_native
+
+        a = power_law(400, avg_degree=6, seed=9)
+        c1 = spgemm(a, backend="plan")
+        c2 = spgemm_native(a, a)
+        _close(c2, to_scipy(c1))
+
+    def test_native_rectangular(self):
+        import pytest as _pt
+
+        from cask_tpu.native import available
+
+        if not available():
+            _pt.skip("no C++ toolchain")
+        from cask_tpu.ops.spgemm import spgemm_native
+
+        a = random_uniform(70, 110, density=0.06, seed=10)
+        b = random_uniform(110, 50, density=0.06, seed=11)
+        _close(spgemm_native(a, b), to_scipy(a) @ to_scipy(b))
