@@ -21,7 +21,9 @@ def main():
     t_start = time.time()
     import jax
 
-    if jax.default_backend() != "tpu":
+    from cask_tpu.utils.platform import on_tpu as _on_tpu
+
+    if not _on_tpu():
         # dev fallback: CPU harness (numbers not meaningful vs TPU roofline)
         os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
         try:
@@ -35,7 +37,7 @@ def main():
     from cask_tpu.formats.device_gen import stencil2d_dia_device
     from cask_tpu.tune.timing import measure
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _on_tpu()
     HBM_BW = 819e9  # v5e spec; roofline denominator
 
     side = int(os.environ.get("CASK_BENCH_SIDE", "1024"))
@@ -87,7 +89,7 @@ def main():
             "gnnz_per_s": round(nnz / secs / 1e9, 3),
             "gflops_f32": round(2 * nnz / secs / 1e9, 2),
             "achieved_GBs": round(achieved_bw / 1e9, 2),
-            "backend": jax.default_backend(),
+            "backend": ("tpu" if on_tpu else "cpu"),
             "on_tpu": on_tpu,
             "reliable": results[best_name].reliable,
             "all_variants": {k: v.seconds_per_iter for k, v in results.items()},

@@ -28,7 +28,9 @@ def chip_bandwidth() -> float:
     import os
 
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
-    if jax.default_backend() != "tpu":
+    from cask_tpu.utils.platform import on_tpu
+
+    if not on_tpu():
         return SPEC_BW["cpu"]
     return SPEC_BW.get(gen, SPEC_BW["v5e"])
 

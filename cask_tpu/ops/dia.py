@@ -141,10 +141,9 @@ class DiaMatrix:
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    from cask_tpu.utils.platform import on_tpu
+
+    return on_tpu()
 
 
 def dia_plan(a: CSR, *, min_density: float = 0.10, max_diags: int = 1024) -> DiaMatrix:

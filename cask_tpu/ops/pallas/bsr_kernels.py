@@ -39,7 +39,9 @@ _LANE = 128
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    from cask_tpu.utils.platform import on_tpu
+
+    return not on_tpu()
 
 
 def _kernel(G, br, bc, K, kp, cols_ref, x_hbm, v_ref, o_ref, xpanel, sems):

@@ -41,7 +41,9 @@ _MAX_UNROLL_DIAGS = 80
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    from cask_tpu.utils.platform import on_tpu
+
+    return not on_tpu()
 
 
 def pallas_ok(a: "_dia.DiaMatrix", k: Optional[int]) -> bool:

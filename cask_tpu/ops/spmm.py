@@ -92,4 +92,8 @@ def spmm(a, x, *, transpose: bool = False, method: str = "auto",
         return _spmm_xla_coo(a, x, transpose, accum_dtype)
     if isinstance(a, BSR):
         return _spmm_xla_bsr(a, x, transpose, accum_dtype)
+    from cask_tpu.ops.dia import DiaMatrix, spmm_dia
+
+    if isinstance(a, DiaMatrix):
+        return spmm_dia(a, x, transpose=transpose, accum_dtype=accum_dtype)
     raise TypeError(f"unsupported matrix type {type(a)}")

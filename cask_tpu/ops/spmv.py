@@ -130,4 +130,8 @@ def spmv(a, x, *, transpose: bool = False, method: str = "auto",
         return _spmv_xla_coo(a, x, transpose, accum_dtype)
     if isinstance(a, BSR):
         return _spmv_xla_bsr(a, x, transpose, accum_dtype)
+    from cask_tpu.ops.dia import DiaMatrix, spmv_dia
+
+    if isinstance(a, DiaMatrix):
+        return spmv_dia(a, x, transpose=transpose, accum_dtype=accum_dtype)
     raise TypeError(f"unsupported matrix type {type(a)}")
