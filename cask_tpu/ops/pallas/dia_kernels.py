@@ -56,8 +56,10 @@ def pallas_ok(a: "_dia.DiaMatrix", k: Optional[int]) -> bool:
     hi = max(max(a.offsets), 0)
     db = jnp.dtype(a.vals.dtype).itemsize
     if k is None:
-        xbytes = (a.m_pad + lo + hi + 2 * _TM) * db
-        return xbytes <= _X_VMEM_BUDGET
+        # resident x, or the windowed variant (x stays in HBM; only a
+        # (tile + span) window lives in VMEM per grid step)
+        wrows = _SUBL + (lo + hi) // _LANE + 2
+        return 2 * wrows * _LANE * db <= _X_VMEM_BUDGET
     else:
         kp = -(-max(k, _LANE) // _LANE) * _LANE
         # resident X, or the windowed variant (X in HBM, VMEM scratch
@@ -108,12 +110,30 @@ def _spmv_kernel(offsets, lo, interpret, x_ref, v_ref, o_ref):
     o_ref[...] = acc
 
 
+def _spmv_window_kernel(offsets, lo, hi, interpret, x_hbm, v_ref, o_ref, xw_ref, sem):
+    # x window DMA'd from HBM per tile; shift starts are static in-window.
+    t = pl.program_id(0)
+    wrows = _SUBL + (lo + hi) // _LANE + 2
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(t * _SUBL, wrows), :], xw_ref, sem
+    )
+    dma.start()
+    dma.wait()
+    acc = jnp.zeros((_SUBL, _LANE), dtype=o_ref.dtype)
+    for d, off in enumerate(offsets):
+        q, s = divmod(off + lo, _LANE)
+        sh = _shifted_window(xw_ref, q, s, _SUBL, interpret)
+        acc = acc + v_ref[d, 0] * sh
+    o_ref[...] = acc
+
+
 def dia_spmv_pallas(a: "_dia.DiaMatrix", x):
     m, n = a.shape
     D = a.ndiags
     lo = -min(min(a.offsets), 0)
     hi = max(max(a.offsets), 0)
     T = a.m_pad // _TM
+    db = jnp.dtype(x.dtype).itemsize
 
     # padded flat x: [lo zeros | x | zeros], length aligned so the widest
     # shifted window slice stays in range.
@@ -126,20 +146,35 @@ def dia_spmv_pallas(a: "_dia.DiaMatrix", x):
     out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, x.dtype), jnp.float32) \
         if a.vals.dtype == jnp.bfloat16 or x.dtype == jnp.bfloat16 \
         else jnp.promote_types(a.vals.dtype, x.dtype)
-    kernel = functools.partial(_spmv_kernel, a.offsets, lo, _interpret())
-    out = pl.pallas_call(
-        kernel,
+    common = dict(
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
-            pl.BlockSpec((D, 1, _SUBL, _LANE), lambda t: (0, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((_SUBL, _LANE), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T * _SUBL, _LANE), out_dtype),
         interpret=_interpret(),
-    )(x2, v3)
+    )
+    v_spec = pl.BlockSpec((D, 1, _SUBL, _LANE), lambda t: (0, t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    resident = x2.size * db <= _X_VMEM_BUDGET
+    if resident:
+        kernel = functools.partial(_spmv_kernel, a.offsets, lo, _interpret())
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), v_spec],
+            **common,
+        )(x2, v3)
+    else:
+        wrows = _SUBL + (lo + hi) // _LANE + 2
+        kernel = functools.partial(_spmv_window_kernel, a.offsets, lo, hi, _interpret())
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), v_spec],
+            scratch_shapes=[
+                pltpu.VMEM((wrows, _LANE), x.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            **common,
+        )(x2, v3)
     return out.reshape(-1)[:m]
 
 

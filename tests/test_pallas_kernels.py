@@ -83,3 +83,39 @@ class TestDiaEdgeCases:
         x = np.random.default_rng(6).standard_normal(n)
         y = dia_spmv_pallas(d, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(y), s @ x, rtol=1e-12)
+
+
+class TestWindowedVariants:
+    def test_spmv_windowed_matches_resident(self):
+        import cask_tpu
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        a = cask_tpu.generate.stencil_2d(95)
+        d = dia_plan(a)
+        x = np.random.default_rng(0).standard_normal(a.shape[0])
+        ref = to_scipy(a) @ x
+        orig = dk._X_VMEM_BUDGET
+        dk._X_VMEM_BUDGET = 1 << 16  # force the HBM-window path
+        try:
+            y = dk.dia_spmv_pallas(d, jnp.asarray(x))
+        finally:
+            dk._X_VMEM_BUDGET = orig
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-12, atol=1e-10)
+
+    def test_spmm_windowed_matches_resident(self):
+        import cask_tpu
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        a = cask_tpu.generate.banded(9000, 2, seed=7)
+        d = dia_plan(a)
+        X = np.random.default_rng(1).standard_normal((a.shape[1], 32))
+        ref = to_scipy(a) @ X
+        orig = dk._X_VMEM_BUDGET
+        dk._X_VMEM_BUDGET = 1 << 18
+        try:
+            Y = dk.dia_spmm_pallas(d, jnp.asarray(X))
+        finally:
+            dk._X_VMEM_BUDGET = orig
+        np.testing.assert_allclose(np.asarray(Y), ref, rtol=1e-12, atol=1e-10)
