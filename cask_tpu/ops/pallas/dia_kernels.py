@@ -110,36 +110,67 @@ def _spmv_kernel(offsets, lo, interpret, x_ref, v_ref, o_ref):
     o_ref[...] = acc
 
 
-def _spmv_window_kernel(offsets, lo, hi, interpret, x_hbm, v_ref, o_ref, xw_ref, sem):
-    # x window DMA'd from HBM per tile; shift starts are static in-window.
+def _spmv_window_kernel(offsets, lo, hi, interpret, x_hbm, v_ref, o_ref, xw_ref, sems):
+    # x window DMA'd from HBM, double-buffered: tile t+1's window is in
+    # flight while tile t computes (scratch persists across grid steps).
     t = pl.program_id(0)
+    T = pl.num_programs(0)
     wrows = _SUBL + (lo + hi) // _LANE + 2
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(t * _SUBL, wrows), :], xw_ref, sem
-    )
-    dma.start()
-    dma.wait()
+
+    def dma(slot, step):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(step * _SUBL, wrows), :], xw_ref.at[slot], sems.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < T)
+    def _():
+        dma((t + 1) % 2, t + 1).start()
+
+    dma(t % 2, t).wait()
+    cur = t % 2
     acc = jnp.zeros((_SUBL, _LANE), dtype=o_ref.dtype)
     for d, off in enumerate(offsets):
         q, s = divmod(off + lo, _LANE)
-        sh = _shifted_window(xw_ref, q, s, _SUBL, interpret)
+        sh = _shifted_window(xw_ref.at[cur], q, s, _SUBL, interpret)
         acc = acc + v_ref[d, 0] * sh
     o_ref[...] = acc
 
 
+def spmv_pad_rows(a: "_dia.DiaMatrix") -> int:
+    """Rows of the (rows, 128) padded-x layout for `dia_spmv_pallas_padded`."""
+    lo = -min(min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    return a.m_pad // _LANE + (lo + hi) // _LANE + 2
+
+
+def pad_x_spmv(a: "_dia.DiaMatrix", x):
+    """Build the padded 2-D x layout once (amortize across many SpMVs —
+    the wrapper pad/copy otherwise costs ~40% of a roofline SpMV)."""
+    lo = -min(min(a.offsets), 0)
+    n = a.shape[1]
+    xrows = spmv_pad_rows(a)
+    xp = jnp.zeros((xrows * _LANE,), x.dtype).at[lo : lo + n].set(x)
+    return xp.reshape(xrows, _LANE)
+
+
 def dia_spmv_pallas(a: "_dia.DiaMatrix", x):
-    m, n = a.shape
+    m = a.shape[0]
+    out = dia_spmv_pallas_padded(a, pad_x_spmv(a, x))
+    return out.reshape(-1)[:m]
+
+
+def dia_spmv_pallas_padded(a: "_dia.DiaMatrix", x2):
+    """SpMV on the pre-padded (rows, 128) x layout; returns (m_pad/128, 128)."""
     D = a.ndiags
     lo = -min(min(a.offsets), 0)
     hi = max(max(a.offsets), 0)
     T = a.m_pad // _TM
-    db = jnp.dtype(x.dtype).itemsize
-
-    # padded flat x: [lo zeros | x | zeros], length aligned so the widest
-    # shifted window slice stays in range.
-    xrows = T * _SUBL + (lo + hi) // _LANE + 2
-    xp = jnp.zeros((xrows * _LANE,), x.dtype).at[lo : lo + n].set(x)
-    x2 = xp.reshape(xrows, _LANE)
+    db = jnp.dtype(x2.dtype).itemsize
+    x = x2  # for dtype promotion below
     v3 = a.vals.reshape(D, T, _SUBL, _LANE)
 
     # accumulate at ≥f32 even for bf16 value streams
@@ -170,12 +201,12 @@ def dia_spmv_pallas(a: "_dia.DiaMatrix", x):
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY), v_spec],
             scratch_shapes=[
-                pltpu.VMEM((wrows, _LANE), x.dtype),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, wrows, _LANE), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             **common,
         )(x2, v3)
-    return out.reshape(-1)[:m]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -195,38 +226,85 @@ def _spmm_resident_kernel(offsets, lo, tm, kp, x_ref, v_ref, o_ref):
     o_ref[...] = acc
 
 
-def _spmm_window_kernel(offsets, lo, hi, tm, kp, x_hbm, v_ref, o_ref, xw_ref, sem):
-    # X lives in HBM; DMA one (tm + span, kp) window per tile into VMEM.
-    # All diagonal shifts inside the window are *static* row slices.
+def _spmm_window_kernel(offsets, lo, hi, tm, kp, x_hbm, v_ref, o_ref, xw_ref, sems):
+    # X lives in HBM; (tm + span, kp) windows double-buffered so tile
+    # t+1's DMA overlaps tile t's compute.  All diagonal shifts inside a
+    # window are *static* row slices.
     t = pl.program_id(0)
+    T = pl.num_programs(0)
     ws = tm + lo + hi
-    dma = pltpu.make_async_copy(x_hbm.at[pl.ds(t * tm, ws), :], xw_ref, sem)
-    dma.start()
+
+    def dma(slot, step):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(step * tm, ws), :], xw_ref.at[slot], sems.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < T)
+    def _():
+        dma((t + 1) % 2, t + 1).start()
+
     vt = v_ref[...].T  # (tm, D) — overlaps with the DMA
-    dma.wait()
+    dma(t % 2, t).wait()
+    cur = t % 2
     acc = jnp.zeros((tm, kp), dtype=o_ref.dtype)
     for d, off in enumerate(offsets):
         start = off + lo  # static
-        acc = acc + vt[:, d : d + 1] * xw_ref[start : start + tm, :]
+        acc = acc + vt[:, d : d + 1] * xw_ref[cur, start : start + tm, :]
     o_ref[...] = acc
 
 
-_SPMM_TM = 256  # rows of y per grid step
+_SPMM_TM = 256  # minimum rows of y per grid step
+
+
+def _spmm_tile(a: "_dia.DiaMatrix", kp: int, db: int) -> int:
+    """Pick the y-tile row count: large enough that the window's span
+    overhead amortizes (window = tm + span re-read per tile), small
+    enough that two windows fit the VMEM budget."""
+    lo = -min(min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    span = lo + hi
+    for tm in (8192, 4096, 2048, 1024, 512, 256, 64):
+        if a.m_pad % tm:
+            continue
+        if 2 * (tm + span) * kp * db <= _X_VMEM_BUDGET:
+            return tm
+    return _SUBL
+
+
+def pad_x_spmm(a: "_dia.DiaMatrix", x):
+    """Pre-padded X layout for repeated SpMMs with one plan."""
+    n = a.shape[1]
+    k = int(x.shape[1])
+    kp = max(_LANE, -(-k // _LANE) * _LANE)
+    db = jnp.dtype(x.dtype).itemsize
+    lo = -min(min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    tm = _spmm_tile(a, kp, db)
+    T = a.m_pad // tm
+    xp = jnp.zeros((T * tm + lo + hi + tm, kp), x.dtype)
+    return xp.at[lo : lo + n, :k].set(x)
 
 
 def dia_spmm_pallas(a: "_dia.DiaMatrix", x):
-    m, n = a.shape
+    m = a.shape[0]
     k = int(x.shape[1])
-    kp = max(_LANE, -(-k // _LANE) * _LANE)
+    out = dia_spmm_pallas_padded(a, pad_x_spmm(a, x))
+    return out[:m, :k]
+
+
+def dia_spmm_pallas_padded(a: "_dia.DiaMatrix", xp):
+    kp = int(xp.shape[1])
     D = a.ndiags
     lo = -min(min(a.offsets), 0)
     hi = max(max(a.offsets), 0)
-    tm = _SPMM_TM if a.m_pad % _SPMM_TM == 0 else _SUBL
+    db = jnp.dtype(xp.dtype).itemsize
+    tm = _spmm_tile(a, kp, db)
     T = a.m_pad // tm
-    db = jnp.dtype(x.dtype).itemsize
-
-    xp = jnp.zeros((T * tm + lo + hi + tm, kp), x.dtype)
-    xp = xp.at[lo : lo + n, :k].set(x)
+    x = xp  # dtype promotion below
 
     resident = xp.shape[0] * kp * db <= _X_VMEM_BUDGET
     out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, x.dtype), jnp.float32) \
@@ -253,9 +331,9 @@ def dia_spmm_pallas(a: "_dia.DiaMatrix", x):
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY), v_spec],
             scratch_shapes=[
-                pltpu.VMEM((ws, kp), x.dtype),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, ws, kp), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             **common,
         )(xp, a.vals)
-    return out[:m, :k]
+    return out

@@ -36,16 +36,25 @@ class Measurement:
     checksum: float  # scalar folded over every iteration's output
 
 
+_POOL = 8  # distinct inputs cycled through the loop
+
+
 def _make_inputs(x0, k: int):
-    """k distinct copies of x0 (tiny relative perturbation, so kernels
-    see realistic values but XLA sees different buffers)."""
-    scales = (1.0 + jnp.arange(k, dtype=x0.dtype) * jnp.asarray(1e-6, x0.dtype))
-    return x0[None] * scales.reshape((k,) + (1,) * x0.ndim)
+    """A pool of distinct copies of x0 (tiny relative perturbation, so
+    kernels see realistic values but XLA sees different buffers).  The
+    loop cycles the pool: ``step(xs[i % P])`` depends on the induction
+    variable, so XLA cannot hoist the step out as loop-invariant, while
+    the pool keeps the buffer bounded for huge operands / large k."""
+    p = min(k, _POOL)
+    scales = (1.0 + jnp.arange(p, dtype=x0.dtype) * jnp.asarray(1e-6, x0.dtype))
+    return x0[None] * scales.reshape((p,) + (1,) * x0.ndim)
 
 
 def _iterate(step: Callable, xs, k: int):
+    p = xs.shape[0]
+
     def body(i, acc):
-        y = step(xs[i])
+        y = step(xs[i % p])
         flat = y.reshape(-1)
         return acc + jnp.mean(jnp.abs(flat[:128]).astype(jnp.float32))
 
@@ -56,27 +65,26 @@ def measure(step: Callable, x0, *, k1: int = 4, k2: int = 20,
             tol_rel: float = 0.35) -> Measurement:
     """Seconds per application of ``step`` on the current default device."""
     x0 = jnp.asarray(x0)
-    # cap the stacked-input buffer at ~2 GB for very large operands
-    max_k = int((2 << 30) / max(x0.size * x0.dtype.itemsize, 1))
-    k2 = max(min(k2, max_k), k1 + 2)
-    xs2 = _make_inputs(x0, k2)
-    xs1 = xs2[:k1]
-    f = jax.jit(_iterate, static_argnums=(0, 2))
+    xs = _make_inputs(x0, k2)
+    # k is a traced operand (fori lowers to a dynamic while), so both
+    # iteration counts share ONE compile — compiles are minutes on the
+    # proxied dev TPU, and this halves them.
+    f = jax.jit(_iterate, static_argnums=(0,))
 
-    def run(xs, k):
+    def run(k):
         t0 = time.perf_counter()
-        val = float(f(step, xs, k))  # scalar fetch forces completion
+        val = float(f(step, xs, jnp.int32(k)))  # scalar fetch forces completion
         return time.perf_counter() - t0, val
 
-    # warm-up compiles for both iteration counts
-    run(xs1, k1)
-    run(xs2, k2)
-    t1, v1 = run(xs1, k1)
-    t2, _ = run(xs2, k2)
+    # warm-up (compile + one full-length pass)
+    run(k1)
+    run(k2)
+    t1, v1 = run(k1)
+    t2, _ = run(k2)
     per_iter = (t2 - t1) / (k2 - k1)
     # linearity check: redo and compare
-    t1b, _ = run(xs1, k1)
-    t2b, _ = run(xs2, k2)
+    t1b, _ = run(k1)
+    t2b, _ = run(k2)
     per_iter_b = (t2b - t1b) / (k2 - k1)
     reliable = (
         per_iter > 0
