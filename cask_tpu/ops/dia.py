@@ -140,6 +140,50 @@ class DiaMatrix:
         return jax.ops.segment_sum(prod, self.rem_row, num_segments=self.shape[0])
 
 
+class DiaOperator:
+    """Solver-facing SpMV operator in the zero-copy padded layout.
+
+    Krylov iterations apply A dozens-to-thousands of times; this keeps
+    every vector in the kernel's own layout so no per-iteration pad /
+    unpad copies happen (cask lesson: no boundary crossing per
+    iteration, SURVEY.md §3.3).  Usage::
+
+        op = DiaOperator(dia)                    # or DiaOperator(csr)
+        res = cg(op, op.to_padded(b))
+        x = op.from_padded(res.x)
+    """
+
+    def __init__(self, a, *, method: str = "auto"):
+        if isinstance(a, CSR):
+            a = dia_plan(a)
+        self.dia = a
+        from cask_tpu.ops.pallas.dia_kernels import pallas_ok
+
+        self._use_layout = method in ("auto", "pallas") and pallas_ok(a, k=None)
+        self.method = method
+
+    def to_padded(self, v):
+        if self._use_layout:
+            from cask_tpu.ops.pallas import dia_kernels as dk
+
+            return dk.to_layout(self.dia, jnp.asarray(v))
+        return jnp.asarray(v)
+
+    def from_padded(self, v):
+        if self._use_layout:
+            from cask_tpu.ops.pallas import dia_kernels as dk
+
+            return dk.from_layout(self.dia, v)
+        return v
+
+    def __call__(self, v):
+        if self._use_layout:
+            from cask_tpu.ops.pallas import dia_kernels as dk
+
+            return dk.dia_spmv_pallas_layout(self.dia, v)
+        return self.dia.spmv(v, method=self.method)
+
+
 def _on_tpu() -> bool:
     from cask_tpu.utils.platform import on_tpu
 

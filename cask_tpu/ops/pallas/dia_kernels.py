@@ -210,6 +210,102 @@ def dia_spmv_pallas_padded(a: "_dia.DiaMatrix", x2):
 
 
 # ---------------------------------------------------------------------------
+# Solver-resident layout: input and output share one padded flat layout
+# [ lo_pad zeros | vector | hi_pad zeros ] with lo_pad/hi_pad multiples of
+# the 8192-element row tile, so y from one SpMV feeds the next SpMV (or
+# any CG axpy) with no re-padding copy — the whole Krylov iteration stays
+# in this layout (cask lesson §3.3: never pay a boundary per iteration).
+# ---------------------------------------------------------------------------
+
+
+def _layout_pads(a: "_dia.DiaMatrix"):
+    lo = -min(min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    lo_pad = -(-max(lo, 1) // _TM) * _TM
+    hi_pad = -(-max(hi + _LANE, 1) // _TM) * _TM
+    return lo_pad, hi_pad
+
+
+def layout_rows(a: "_dia.DiaMatrix") -> int:
+    lo_pad, hi_pad = _layout_pads(a)
+    return (lo_pad + a.m_pad + hi_pad) // _LANE
+
+
+def to_layout(a: "_dia.DiaMatrix", v):
+    """Embed an (n,) vector into the solver layout (rows, 128)."""
+    lo_pad, hi_pad = _layout_pads(a)
+    n = a.shape[1]
+    L = lo_pad + a.m_pad + hi_pad
+    out = jnp.zeros((L,), v.dtype).at[lo_pad : lo_pad + n].set(v)
+    return out.reshape(L // _LANE, _LANE)
+
+
+def from_layout(a: "_dia.DiaMatrix", v2):
+    lo_pad, _ = _layout_pads(a)
+    return v2.reshape(-1)[lo_pad : lo_pad + a.shape[0]]
+
+
+def _spmv_layout_kernel(offsets, lo_pad, pad_tiles, T, interpret,
+                        x_ref, v_ref, o_ref):
+    tt = pl.program_id(0)
+    in_body = (tt >= pad_tiles) & (tt < pad_tiles + T)
+
+    @pl.when(jnp.logical_not(in_body))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(in_body)
+    def _():
+        acc = jnp.zeros((_SUBL, _LANE), dtype=o_ref.dtype)
+        for d, off in enumerate(offsets):
+            q, s = divmod(off, _LANE)  # floor division: q may be negative
+            sh = _shifted_window(x_ref, tt * _SUBL + q, s, _SUBL, interpret)
+            acc = acc + v_ref[d, 0] * sh
+        o_ref[...] = acc
+
+
+def dia_spmv_pallas_layout(a: "_dia.DiaMatrix", x2):
+    """SpMV in the solver layout: x2 and the result share shape/layout."""
+    D = a.ndiags
+    lo_pad, hi_pad = _layout_pads(a)
+    T = a.m_pad // _TM
+    pad_tiles = lo_pad // _TM
+    total_tiles = (lo_pad + a.m_pad + hi_pad) // _TM
+    db = jnp.dtype(x2.dtype).itemsize
+    if x2.size * db > _X_VMEM_BUDGET:
+        raise ValueError("solver layout requires VMEM-resident x (use the "
+                         "windowed kernel for larger matrices)")
+
+    # value tiles must be fetched for body tiles only; map pad tiles to
+    # tile 0 (their values are never read)
+    v3 = a.vals.reshape(D, T, _SUBL, _LANE)
+    out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, x2.dtype), jnp.float32) \
+        if jnp.bfloat16 in (a.vals.dtype, x2.dtype) \
+        else jnp.promote_types(a.vals.dtype, x2.dtype)
+
+    def v_index(tt):
+        t = jnp.clip(tt - pad_tiles, 0, T - 1)
+        return (0, t, 0, 0)
+
+    kernel = functools.partial(
+        _spmv_layout_kernel, a.offsets, lo_pad, pad_tiles, T, _interpret()
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 1, _SUBL, _LANE), v_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_SUBL, _LANE), lambda tt: (tt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total_tiles * _SUBL, _LANE), out_dtype),
+        interpret=_interpret(),
+    )(x2, v3)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # SpMM
 # ---------------------------------------------------------------------------
 
@@ -218,12 +314,13 @@ def _spmm_resident_kernel(offsets, lo, tm, kp, x_ref, v_ref, o_ref):
     t = pl.program_id(0)
     # v_ref: (D, tm) value tile → transpose once, amortized over kp lanes
     vt = v_ref[...].T  # (tm, D)
-    acc = jnp.zeros((tm, kp), dtype=o_ref.dtype)
+    # accumulate into o_ref: an `acc` temporary makes Mosaic keep every
+    # unrolled diagonal's (tm, kp) product live at once → VMEM stack OOM
+    o_ref[...] = jnp.zeros((tm, kp), dtype=o_ref.dtype)
     for d, off in enumerate(offsets):
         start = off + lo  # static row shift
         xw = x_ref[pl.ds(t * tm + start, tm), :]  # (tm, kp)
-        acc = acc + vt[:, d : d + 1] * xw
-    o_ref[...] = acc
+        o_ref[...] += vt[:, d : d + 1] * xw
 
 
 def _spmm_window_kernel(offsets, lo, hi, tm, kp, x_hbm, v_ref, o_ref, xw_ref, sems):
@@ -250,11 +347,10 @@ def _spmm_window_kernel(offsets, lo, hi, tm, kp, x_hbm, v_ref, o_ref, xw_ref, se
     vt = v_ref[...].T  # (tm, D) — overlaps with the DMA
     dma(t % 2, t).wait()
     cur = t % 2
-    acc = jnp.zeros((tm, kp), dtype=o_ref.dtype)
+    o_ref[...] = jnp.zeros((tm, kp), dtype=o_ref.dtype)
     for d, off in enumerate(offsets):
         start = off + lo  # static
-        acc = acc + vt[:, d : d + 1] * xw_ref[cur, start : start + tm, :]
-    o_ref[...] = acc
+        o_ref[...] += vt[:, d : d + 1] * xw_ref[cur, start : start + tm, :]
 
 
 _SPMM_TM = 256  # minimum rows of y per grid step
@@ -270,7 +366,9 @@ def _spmm_tile(a: "_dia.DiaMatrix", kp: int, db: int) -> int:
     for tm in (8192, 4096, 2048, 1024, 512, 256, 64):
         if a.m_pad % tm:
             continue
-        if 2 * (tm + span) * kp * db <= _X_VMEM_BUDGET:
+        # VMEM: 2 window buffers + double-buffered out tile + one temp
+        need = (2 * (tm + span) + 3 * tm) * kp * db
+        if need <= _X_VMEM_BUDGET:
             return tm
     return _SUBL
 

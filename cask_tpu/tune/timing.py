@@ -94,3 +94,48 @@ def measure(step: Callable, x0, *, k1: int = 4, k2: int = 20,
     cands = [x for x in (per_iter, per_iter_b) if x > 0]
     best = min(cands) if cands else float("inf")
     return Measurement(seconds_per_iter=best, reliable=reliable, checksum=v1)
+
+
+def _iterate_chained(step: Callable, x0, k):
+    def body(i, x):
+        return step(x)
+
+    xk = jax.lax.fori_loop(0, k, body, x0)
+    return jnp.mean(jnp.abs(xk.reshape(-1)[:128]).astype(jnp.float32))
+
+
+def measure_chained(step: Callable, x0, *, k1: int = 20, k2: int = 220,
+                    tol_rel: float = 0.25) -> Measurement:
+    """Timing for *endomorphic* steps (``step: x → x``-shaped).
+
+    Purest protocol: iterations chain directly, so there are no input
+    pools, gathers, or padding copies polluting a bandwidth number — the
+    device runs back-to-back kernels.  The caller must supply a step
+    that is numerically stable under composition (e.g. a spectrally
+    scaled SpMV): over/underflow doesn't crash a timing, but renders the
+    checksum canary useless.
+    """
+    x0 = jnp.asarray(x0)
+    f = jax.jit(_iterate_chained, static_argnums=(0,))
+
+    def run(k):
+        t0 = time.perf_counter()
+        val = float(f(step, x0, jnp.int32(k)))
+        return time.perf_counter() - t0, val
+
+    run(k1)
+    run(k2)
+    t1, v1 = run(k1)
+    t2, _ = run(k2)
+    per_iter = (t2 - t1) / (k2 - k1)
+    t1b, _ = run(k1)
+    t2b, _ = run(k2)
+    per_iter_b = (t2b - t1b) / (k2 - k1)
+    reliable = (
+        per_iter > 0
+        and per_iter_b > 0
+        and abs(per_iter - per_iter_b) <= tol_rel * max(per_iter, per_iter_b)
+    )
+    cands = [x for x in (per_iter, per_iter_b) if x > 0]
+    best = min(cands) if cands else float("inf")
+    return Measurement(seconds_per_iter=best, reliable=reliable, checksum=v1)

@@ -119,3 +119,37 @@ class TestWindowedVariants:
         finally:
             dk._X_VMEM_BUDGET = orig
         np.testing.assert_allclose(np.asarray(Y), ref, rtol=1e-12, atol=1e-10)
+
+
+class TestSolverLayout:
+    def test_layout_spmv_and_chain(self):
+        import cask_tpu
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        a = cask_tpu.generate.stencil_2d(95)
+        d = dia_plan(a)
+        x = np.random.default_rng(0).standard_normal(a.shape[0])
+        xL = dk.to_layout(d, jnp.asarray(x))
+        yL = dk.dia_spmv_pallas_layout(d, xL)
+        np.testing.assert_allclose(
+            np.asarray(dk.from_layout(d, yL)), to_scipy(a) @ x, rtol=1e-12, atol=1e-10
+        )
+        # the output is a valid input: pads stay zero
+        y2 = dk.from_layout(d, dk.dia_spmv_pallas_layout(d, yL))
+        np.testing.assert_allclose(
+            np.asarray(y2), to_scipy(a) @ (to_scipy(a) @ x), rtol=1e-12, atol=1e-10
+        )
+
+    def test_dia_operator_cg(self):
+        import cask_tpu
+        from cask_tpu.ops.dia import DiaOperator
+        from cask_tpu.solvers import cg
+
+        a = cask_tpu.generate.stencil_2d(95)  # SPD, 9025 rows
+        op = DiaOperator(a)
+        assert op._use_layout
+        b = np.random.default_rng(1).standard_normal(a.shape[0])
+        res = cg(op, op.to_padded(b), tol=1e-8, maxiter=600)
+        x = np.asarray(op.from_padded(res.x))
+        np.testing.assert_allclose(to_scipy(a) @ x, b, rtol=1e-5, atol=1e-6)
