@@ -45,30 +45,42 @@ def _interpret() -> bool:
 
 
 def _kernel(G, br, bc, K, kp, cols_ref, x_hbm, v_ref, o_ref, xpanel, sems):
+    # X-slice panels double-buffered across grid steps: while this block
+    # row's matmul runs, the next block row's K slice DMAs are in flight
+    # (addresses come from the scalar-prefetched column ids).
     t = pl.program_id(0)
-    # start every slice DMA for this group of block rows
+    T = pl.num_programs(0)
+
+    def dma(step, slot, g, j):
+        col = cols_ref[(step * G + g) * K + j]
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(col * bc, bc), :],
+            xpanel.at[slot, g, pl.ds(j * bc, bc), :],
+            sems.at[slot, g, j],
+        )
+
+    def start_step(step, slot):
+        for g in range(G):
+            for j in range(K):
+                dma(step, slot, g, j).start()
+
+    @pl.when(t == 0)
+    def _():
+        start_step(0, 0)
+
+    @pl.when(t + 1 < T)
+    def _():
+        start_step(t + 1, (t + 1) % 2)
+
+    cur = t % 2
     for g in range(G):
         for j in range(K):
-            col = cols_ref[(t * G + g) * K + j]
-            dma = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(col * bc, bc), :],
-                xpanel.at[g, pl.ds(j * bc, bc), :],
-                sems.at[g, j],
-            )
-            dma.start()
-    for g in range(G):
-        for j in range(K):
-            col = cols_ref[(t * G + g) * K + j]
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(col * bc, bc), :],
-                xpanel.at[g, pl.ds(j * bc, bc), :],
-                sems.at[g, j],
-            ).wait()
+            dma(t, cur, g, j).wait()
     acc_t = jnp.promote_types(o_ref.dtype, jnp.float32)
     for g in range(G):
         acc = jax.lax.dot_general(
             v_ref[0, g * br : (g + 1) * br, :],
-            xpanel[g],
+            xpanel[cur, g],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_t,
         )
@@ -138,8 +150,8 @@ class BsrSpmmKernel:
             out_specs=pl.BlockSpec((1, G * br, kp), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((G, K * bc, kp), x.dtype),
-                pltpu.SemaphoreType.DMA((G, K)),
+                pltpu.VMEM((2, G, K * bc, kp), x.dtype),
+                pltpu.SemaphoreType.DMA((2, G, K)),
             ],
         )
         kernel = functools.partial(_kernel, G, br, bc, K, kp)
