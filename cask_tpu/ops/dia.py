@@ -56,6 +56,11 @@ class DiaMatrix:
     rem_data: jax.Array  # (nrem,) remainder values (may be size 0)
     rem_row: jax.Array  # (nrem,) int32
     rem_col: jax.Array  # (nrem,) int32
+    # row-major copy (m_pad, ndiags) for the SpMM kernels: X rows live on
+    # sublanes, so per-row value broadcasts want values with rows on the
+    # sublane dim — streaming this instead of in-kernel transposing costs
+    # memory, not bandwidth (same bytes move either way).  None = absent.
+    vals_t: Optional[jax.Array]
     offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
 
@@ -190,7 +195,8 @@ def _on_tpu() -> bool:
     return on_tpu()
 
 
-def dia_plan(a: CSR, *, min_density: float = 0.10, max_diags: int = 1024) -> DiaMatrix:
+def dia_plan(a: CSR, *, min_density: float = 0.10, max_diags: int = 1024,
+             with_vals_t: bool = True) -> DiaMatrix:
     """Pack ``a``'s dense-enough diagonals; spill the rest to COO.
 
     ``min_density``: keep a diagonal if it holds ≥ this fraction of its
@@ -232,6 +238,7 @@ def dia_plan(a: CSR, *, min_density: float = 0.10, max_diags: int = 1024) -> Dia
         rem_data=jnp.asarray(data[rem]),
         rem_row=jnp.asarray(rows[rem].astype(np.int32)),
         rem_col=jnp.asarray(indices[rem].astype(np.int32)),
+        vals_t=jnp.asarray(np.ascontiguousarray(vals.T)) if with_vals_t else None,
         offsets=offsets,
         shape=(m, n),
     )
@@ -290,6 +297,7 @@ def transpose_plan(a: DiaMatrix) -> DiaMatrix:
         rem_data=a.rem_data,
         rem_row=a.rem_col,
         rem_col=a.rem_row,
+        vals_t=None,
         offsets=tuple(new_offsets),
         shape=(n, m),
     )

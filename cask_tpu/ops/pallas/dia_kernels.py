@@ -310,10 +310,12 @@ def dia_spmv_pallas_layout(a: "_dia.DiaMatrix", x2):
 # ---------------------------------------------------------------------------
 
 
-def _spmm_resident_kernel(offsets, lo, tm, kp, x_ref, v_ref, o_ref):
+def _spmm_resident_kernel(offsets, lo, tm, kp, pretransposed, x_ref, v_ref, o_ref):
     t = pl.program_id(0)
-    # v_ref: (D, tm) value tile → transpose once, amortized over kp lanes
-    vt = v_ref[...].T  # (tm, D)
+    # v_ref: (tm, D) pre-transposed value tile when available (streaming
+    # vals_t moves the same bytes without an in-kernel relayout),
+    # else (D, tm) transposed here
+    vt = v_ref[...] if pretransposed else v_ref[...].T  # (tm, D)
     # accumulate into o_ref: an `acc` temporary makes Mosaic keep every
     # unrolled diagonal's (tm, kp) product live at once → VMEM stack OOM
     o_ref[...] = jnp.zeros((tm, kp), dtype=o_ref.dtype)
@@ -323,7 +325,7 @@ def _spmm_resident_kernel(offsets, lo, tm, kp, x_ref, v_ref, o_ref):
         o_ref[...] += vt[:, d : d + 1] * xw
 
 
-def _spmm_window_kernel(offsets, lo, hi, tm, kp, x_hbm, v_ref, o_ref, xw_ref, sems):
+def _spmm_window_kernel(offsets, lo, hi, tm, kp, pretransposed, x_hbm, v_ref, o_ref, xw_ref, sems):
     # X lives in HBM; (tm + span, kp) windows double-buffered so tile
     # t+1's DMA overlaps tile t's compute.  All diagonal shifts inside a
     # window are *static* row slices.
@@ -344,7 +346,7 @@ def _spmm_window_kernel(offsets, lo, hi, tm, kp, x_hbm, v_ref, o_ref, xw_ref, se
     def _():
         dma((t + 1) % 2, t + 1).start()
 
-    vt = v_ref[...].T  # (tm, D) — overlaps with the DMA
+    vt = v_ref[...] if pretransposed else v_ref[...].T  # (tm, D)
     dma(t % 2, t).wait()
     cur = t % 2
     o_ref[...] = jnp.zeros((tm, kp), dtype=o_ref.dtype)
@@ -414,17 +416,23 @@ def dia_spmm_pallas_padded(a: "_dia.DiaMatrix", xp):
         out_shape=jax.ShapeDtypeStruct((T * tm, kp), out_dtype),
         interpret=_interpret(),
     )
-    v_spec = pl.BlockSpec((D, tm), lambda t: (0, t), memory_space=pltpu.VMEM)
+    pret = a.vals_t is not None
+    if pret:
+        v_spec = pl.BlockSpec((tm, D), lambda t: (t, 0), memory_space=pltpu.VMEM)
+        v_operand = a.vals_t
+    else:
+        v_spec = pl.BlockSpec((D, tm), lambda t: (0, t), memory_space=pltpu.VMEM)
+        v_operand = a.vals
     if resident:
-        kernel = functools.partial(_spmm_resident_kernel, a.offsets, lo, tm, kp)
+        kernel = functools.partial(_spmm_resident_kernel, a.offsets, lo, tm, kp, pret)
         out = pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), v_spec],
             **common,
-        )(xp, a.vals)
+        )(xp, v_operand)
     else:
         ws = tm + lo + hi
-        kernel = functools.partial(_spmm_window_kernel, a.offsets, lo, hi, tm, kp)
+        kernel = functools.partial(_spmm_window_kernel, a.offsets, lo, hi, tm, kp, pret)
         out = pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY), v_spec],
@@ -433,5 +441,5 @@ def dia_spmm_pallas_padded(a: "_dia.DiaMatrix", xp):
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             **common,
-        )(xp, a.vals)
+        )(xp, v_operand)
     return out

@@ -1,3 +1,10 @@
 """Iterative solvers built on cask_tpu ops (cask analog: R7 solver demo)."""
 
-from cask_tpu.solvers.krylov import SolveResult, bicgstab, cg, gmres  # noqa: F401
+from cask_tpu.solvers.krylov import (  # noqa: F401
+    SolveResult,
+    bicgstab,
+    cg,
+    chebyshev,
+    gmres,
+)
+from cask_tpu.solvers.precond import block_jacobi, jacobi  # noqa: F401

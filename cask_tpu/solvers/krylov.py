@@ -133,6 +133,54 @@ def bicgstab(a, b, *, x0=None, tol: float = 1e-8, atol: float = 0.0, maxiter: in
     return SolveResult(x=x, iterations=k, residual_norm=rn, converged=rn <= target)
 
 
+def chebyshev(a, b, *, lmin: float, lmax: float, x0=None, tol: float = 1e-8,
+              atol: float = 0.0, maxiter: int = 1000,
+              M: Optional[Callable] = None) -> SolveResult:
+    """Chebyshev iteration for SPD ``a`` with spectrum in [lmin, lmax].
+
+    No inner products — every iteration is SpMV + axpys, so on a mesh
+    there are *zero* cross-chip reductions (the halo exchange is the only
+    communication).  Needs eigenvalue bounds; for diagonally scaled
+    Poisson-like operators [lmin, lmax] ≈ [c·h², 2] works.  Convergence
+    is checked every iteration against ‖r‖ like CG (that check is the
+    only reduction and could be amortized; kept per-iteration for parity
+    with the other solvers).
+    """
+    op = _as_operator(a)
+    M = M or _ident
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(tol * bnorm, atol).astype(b.dtype)
+
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+
+    r0 = b - op(x0)
+    # first step
+    alpha0 = 1.0 / theta
+    d0 = M(r0) * alpha0
+
+    def cond(st):
+        _, r, _, _, k = st
+        return (jnp.linalg.norm(r) > target) & (k < maxiter)
+
+    def body(st):
+        x, r, d, alpha_prev, k = st
+        x = x + d
+        r = r - op(d)
+        beta = (delta * alpha_prev / 2.0) ** 2
+        alpha = 1.0 / (theta - beta / alpha_prev)
+        d = alpha * (M(r) + beta * d / alpha_prev)
+        return (x, r, d, alpha, k + 1)
+
+    st = (x0, r0, d0, jnp.asarray(alpha0, b.dtype), jnp.int32(0))
+    x, r, _, _, k = jax.lax.while_loop(cond, body, st)
+    rn = jnp.linalg.norm(r)
+    return SolveResult(x=x, iterations=k, residual_norm=rn, converged=rn <= target)
+
+
 def gmres(a, b, *, x0=None, tol: float = 1e-8, atol: float = 0.0, restart: int = 32,
           maxiter: int = 50, M: Optional[Callable] = None) -> SolveResult:
     """Restarted GMRES(m) with (left-preconditioned) Arnoldi, fully jitted.

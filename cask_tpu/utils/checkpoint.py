@@ -86,11 +86,13 @@ def load_dia(path: str):
         raise ValueError(f"{path} is not a dia checkpoint")
     import jax.numpy as jnp
 
+    vals = jnp.asarray(z["vals"])
     return DiaMatrix(
-        vals=jnp.asarray(z["vals"]),
+        vals=vals,
         rem_data=jnp.asarray(z["rem_data"]),
         rem_row=jnp.asarray(z["rem_row"]),
         rem_col=jnp.asarray(z["rem_col"]),
+        vals_t=vals.T,
         offsets=tuple(meta["offsets"]),
         shape=tuple(meta["shape"]),
     )
