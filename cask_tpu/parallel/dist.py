@@ -89,7 +89,7 @@ def _ring_halo(x_loc, lo: int, hi: int, axis: str, nshards: int):
     return left, right
 
 
-def _dia_local(plan: DiaPartition, x_loc, axis: str):
+def _dia_local(plan: DiaPartition, x_loc, axis: str, interior: str = "xla"):
     vals = _sq(plan.vals)  # (D, mloc)
     mloc = plan.mloc
     lo, hi = plan.halo_lo, plan.halo_hi
@@ -99,10 +99,29 @@ def _dia_local(plan: DiaPartition, x_loc, axis: str):
     y_rem = _coo_local(plan.remainder, x_loc, axis) if plan.remainder is not None else None
 
     # 2. interior: shifted FMAs against zero-padded local x — no halo dep
-    xp = jnp.zeros(lo + mloc + hi, x_loc.dtype).at[lo : lo + mloc].set(x_loc)
-    y = jnp.zeros(mloc, dtype=jnp.result_type(vals.dtype, x_loc.dtype))
-    for d, off in enumerate(plan.offsets):
-        y = y + vals[d] * jax.lax.dynamic_slice(xp, (lo + off,), (mloc,))
+    if interior == "pallas":
+        # per-shard Pallas solver-layout kernel (requires 8192-aligned
+        # mloc, see partition_dia(align=...))
+        from cask_tpu.ops import dia as _dia
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        local = _dia.DiaMatrix(
+            vals=vals,
+            rem_data=jnp.zeros((0,), vals.dtype),
+            rem_row=jnp.zeros((0,), jnp.int32),
+            rem_col=jnp.zeros((0,), jnp.int32),
+            vals_t=None,
+            offsets=plan.offsets,
+            shape=(mloc, mloc),
+        )
+        xL = dk.to_layout(local, x_loc)
+        y = dk.from_layout(local, dk.dia_spmv_pallas_layout(local, xL))
+        y = y.astype(jnp.result_type(vals.dtype, x_loc.dtype))
+    else:
+        xp = jnp.zeros(lo + mloc + hi, x_loc.dtype).at[lo : lo + mloc].set(x_loc)
+        y = jnp.zeros(mloc, dtype=jnp.result_type(vals.dtype, x_loc.dtype))
+        for d, off in enumerate(plan.offsets):
+            y = y + vals[d] * jax.lax.dynamic_slice(xp, (lo + off,), (mloc,))
 
     # 3. tiny edge fix-ups once the halo lands
     for d, off in enumerate(plan.offsets):
@@ -160,7 +179,7 @@ class DistSpmv:
     returned sharded arrays so no host round-trips occur.
     """
 
-    def __init__(self, plan, mesh: Optional[Mesh] = None):
+    def __init__(self, plan, mesh: Optional[Mesh] = None, *, interior: str = "xla"):
         self.plan = plan
         self.mesh = mesh if mesh is not None else row_mesh(plan.nshards)
         if self.mesh.shape[AXIS] != plan.nshards:
@@ -169,8 +188,16 @@ class DistSpmv:
                 f"has {self.mesh.shape[AXIS]} devices"
             )
         self._xsharding = NamedSharding(self.mesh, P(AXIS))
-        local = _dia_local if isinstance(plan, DiaPartition) else _coo_local
-        local_mm = _dia_local_mm if isinstance(plan, DiaPartition) else _coo_local_mm
+        if isinstance(plan, DiaPartition):
+            if interior == "pallas" and plan.mloc % 8192:
+                raise ValueError(
+                    "interior='pallas' needs partition_dia(..., align=8192)"
+                )
+            local = partial(_dia_local, interior=interior)
+            local_mm = _dia_local_mm
+        else:
+            local = _coo_local
+            local_mm = _coo_local_mm
 
         plan_specs = jax.tree.map(lambda _: P(AXIS), plan)
 
@@ -180,6 +207,7 @@ class DistSpmv:
                 mesh=self.mesh,
                 in_specs=(plan_specs, P(AXIS)),
                 out_specs=P(AXIS),
+                check_vma=False,  # pallas_call outputs carry no vma info
             )
         )
         self._spmm = jax.jit(
@@ -188,6 +216,7 @@ class DistSpmv:
                 mesh=self.mesh,
                 in_specs=(plan_specs, P(AXIS, None)),
                 out_specs=P(AXIS, None),
+                check_vma=False,
             )
         )
         self.plan_dev = jax.device_put(

@@ -141,18 +141,22 @@ def partition_coo(a: CSR, nshards: int) -> CooPartition:
 
 
 def partition_dia(a: CSR, nshards: int, *, min_density: float = 0.10,
-                  max_diags: int = 256, max_halo: Optional[int] = None) -> DiaPartition:
+                  max_diags: int = 256, max_halo: Optional[int] = None,
+                  align: int = 1) -> DiaPartition:
     """Row-partition a banded CSR into per-shard diagonal slices.
 
     Diagonals whose |offset| exceeds ``max_halo`` (default ``mloc``) spill
     to the remainder — a halo wider than a whole shard would need
     multi-hop exchange, which the all-gather remainder already covers.
+
+    ``align``: round the per-shard row count up to this multiple (the
+    Pallas interior kernel needs 8192-row alignment).
     """
     m, n = a.shape
     if m != n:
         raise ValueError("DiaPartition requires a square matrix")
     P = nshards
-    mloc = _ceil_div(m, P)
+    mloc = _ceil_div(_ceil_div(m, P), align) * align
     max_halo = max_halo if max_halo is not None else mloc
 
     indptr = np.asarray(a.indptr, dtype=np.int64)

@@ -108,3 +108,23 @@ class TestDeviceResidentSolve:
         res = cg(op.padded_op, bp, tol=1e-10, maxiter=600)
         x = np.asarray(res.x)[: a.shape[0]]
         np.testing.assert_allclose(to_scipy(a) @ x, b, rtol=1e-6, atol=1e-7)
+
+
+class TestPallasInterior:
+    def test_pallas_interior_matches_xla(self):
+        a = stencil_2d(100)  # 10000 rows
+        p = 2
+        plan = partition_dia(a, p, align=8192)
+        assert plan.mloc % 8192 == 0
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal(a.shape[1])
+        y_x = DistSpmv(plan, _mesh(p))(x)
+        y_p = DistSpmv(plan, _mesh(p), interior="pallas")(x)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(y_p), to_scipy(a) @ x, rtol=1e-10, atol=1e-10)
+
+    def test_pallas_interior_requires_alignment(self):
+        a = stencil_2d(40)
+        plan = partition_dia(a, 2)  # unaligned
+        with pytest.raises(ValueError):
+            DistSpmv(plan, _mesh(2), interior="pallas")
