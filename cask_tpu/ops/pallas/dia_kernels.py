@@ -62,10 +62,9 @@ def pallas_ok(a: "_dia.DiaMatrix", k: Optional[int]) -> bool:
         return 2 * wrows * _LANE * db <= _X_VMEM_BUDGET
     else:
         kp = -(-max(k, _LANE) // _LANE) * _LANE
-        # resident X, or the windowed variant (X in HBM, VMEM scratch
-        # window per tile) — windowed only needs span + tile rows on-chip
-        ws = _SPMM_TM + lo + hi
-        window_bytes = (ws * 2 + _SPMM_TM) * kp * db
+        # windowed variant viable if even the smallest tile fits
+        span = lo + hi
+        window_bytes = (2 * (_SUBL + span) + 3 * _SUBL) * kp * db
         return k <= 512 and window_bytes <= _X_VMEM_BUDGET
 
 
