@@ -17,10 +17,10 @@ from typing import Iterable, Optional, TextIO
 import jax.numpy as jnp
 import numpy as np
 
-from cask_tpu.bench.roofline import chip_bandwidth, spmv_traffic
+from cask_tpu.bench.roofline import spmv_traffic
 from cask_tpu.formats.matrix import CSR
 from cask_tpu.tune.timing import measure
-from cask_tpu.tune.tuner import Variant, enumerate_variants, tune
+from cask_tpu.tune.tuner import Variant, enumerate_variants
 from cask_tpu.formats.signature import signature
 
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
-import jax
 import numpy as np
 
 # Spec sheet HBM bandwidths by TPU generation (bytes/s).

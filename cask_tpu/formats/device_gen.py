@@ -11,7 +11,6 @@ hosts this also skips a PCIe copy; the plan is bit-identical to
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from cask_tpu.ops.dia import DiaMatrix, _ROW_TILE, _round_up
 

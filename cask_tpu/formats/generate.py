@@ -18,7 +18,7 @@ All return host-side CSR with sorted, deduplicated indices.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

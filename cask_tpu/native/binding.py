@@ -8,7 +8,7 @@ framework works (slower) without a C++ toolchain.
 from __future__ import annotations
 
 import ctypes
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

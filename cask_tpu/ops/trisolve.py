@@ -17,7 +17,7 @@ needs no masks (same trick as BSR structural-zero padding).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

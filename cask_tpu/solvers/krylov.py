@@ -16,8 +16,7 @@ used) or any callable ``x -> A@x`` (e.g. a tuned kernel or a distributed
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Optional, Union
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

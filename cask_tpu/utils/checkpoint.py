@@ -10,7 +10,6 @@ re-running host preprocessing.
 from __future__ import annotations
 
 import json
-import os
 from typing import Tuple
 
 import numpy as np
