@@ -51,7 +51,7 @@ def stencil2d_dia_device(nx: int, ny: int | None = None, *, dtype=jnp.float32) -
         rem_data=jnp.zeros((0,), dtype),
         rem_row=jnp.zeros((0,), jnp.int32),
         rem_col=jnp.zeros((0,), jnp.int32),
-        vals_t=vals.T,
+        vals_t=None,
         offsets=offsets,
         shape=(n, n),
     )
@@ -77,7 +77,7 @@ def banded_dia_device(n: int, bandwidth: int, *, dtype=jnp.float32, seed: int = 
         rem_data=jnp.zeros((0,), dtype),
         rem_row=jnp.zeros((0,), jnp.int32),
         rem_col=jnp.zeros((0,), jnp.int32),
-        vals_t=vals.T,
+        vals_t=None,
         offsets=offsets,
         shape=(n, n),
     )

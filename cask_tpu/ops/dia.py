@@ -196,7 +196,7 @@ def _on_tpu() -> bool:
 
 
 def dia_plan(a: CSR, *, min_density: float = 0.10, max_diags: int = 1024,
-             with_vals_t: bool = True) -> DiaMatrix:
+             with_vals_t: bool = False) -> DiaMatrix:
     """Pack ``a``'s dense-enough diagonals; spill the rest to COO.
 
     ``min_density``: keep a diagonal if it holds ≥ this fraction of its

@@ -81,14 +81,17 @@ def _roll_lanes(x, s: int, interpret: bool):
 
 def _shifted_window(x_ref, row0, s: int, tm: int, interpret: bool):
     """Read tm×128 elements of the flattened x starting at flat offset
-    ``row0*128 + s`` from a (rows, 128) VMEM ref, s < 128 static."""
+    ``row0*128 + s`` from a (rows, 128) VMEM ref, s < 128 static.
+
+    One roll serves both halves of the select: rows are independent under
+    a lane roll, so R = roll(window) gives row r's left part at R[r] and
+    its wrap-in from the next row at R[r+1]."""
     if s == 0:
         return x_ref[pl.ds(row0, tm), :]
     xw = x_ref[pl.ds(row0, tm + 1), :]
-    a = _roll_lanes(xw[:tm, :], s, interpret)
-    b = _roll_lanes(xw[1 : tm + 1, :], s, interpret)
+    rolled = _roll_lanes(xw, s, interpret)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LANE), 1)
-    return jnp.where(lane < _LANE - s, a, b)
+    return jnp.where(lane < _LANE - s, rolled[:tm, :], rolled[1 : tm + 1, :])
 
 
 # ---------------------------------------------------------------------------

@@ -125,17 +125,14 @@ def measure_chained(step: Callable, x0, *, k1: int = 20, k2: int = 220,
 
     run(k1)
     run(k2)
-    t1, v1 = run(k1)
-    t2, _ = run(k2)
-    per_iter = (t2 - t1) / (k2 - k1)
-    t1b, _ = run(k1)
-    t2b, _ = run(k2)
-    per_iter_b = (t2b - t1b) / (k2 - k1)
-    reliable = (
-        per_iter > 0
-        and per_iter_b > 0
-        and abs(per_iter - per_iter_b) <= tol_rel * max(per_iter, per_iter_b)
-    )
-    cands = [x for x in (per_iter, per_iter_b) if x > 0]
-    best = min(cands) if cands else float("inf")
+    ests = []
+    v1 = float("nan")
+    for _ in range(3):
+        t1, v1 = run(k1)
+        t2, _ = run(k2)
+        ests.append((t2 - t1) / (k2 - k1))
+    pos = [e for e in ests if e > 0]
+    best = min(pos) if pos else float("inf")
+    spread = (max(pos) - min(pos)) / best if pos else float("inf")
+    reliable = len(pos) == len(ests) and spread <= 2 * tol_rel
     return Measurement(seconds_per_iter=best, reliable=reliable, checksum=v1)

@@ -91,7 +91,7 @@ def load_dia(path: str):
         rem_data=jnp.asarray(z["rem_data"]),
         rem_row=jnp.asarray(z["rem_row"]),
         rem_col=jnp.asarray(z["rem_col"]),
-        vals_t=vals.T,
+        vals_t=None,
         offsets=tuple(meta["offsets"]),
         shape=tuple(meta["shape"]),
     )
