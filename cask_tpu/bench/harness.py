@@ -121,3 +121,40 @@ def bench_scaling(side: int = 512, *, nshards_list=(1, 2, 4, 8),
         records.append(rec)
         print(json.dumps(rec), file=out, flush=True)
     return records
+
+
+def bench_overlap(side: int = 512, *, nshards: Optional[int] = None,
+                  out: TextIO = sys.stdout) -> list:
+    """A/B: halo exchange overlapped vs serialized (SURVEY §7(d)).
+
+    On a real multi-chip slice the overlapped variant should approach
+    max(comm, compute) while the serialized one pays comm + compute; the
+    measured gap is the hidden communication time.
+    """
+    import jax
+
+    from cask_tpu.formats.generate import stencil_2d
+    from cask_tpu.parallel import DistSpmv, partition_dia, row_mesh
+
+    p = nshards or len(jax.devices())
+    a = stencil_2d(side, dtype=np.float32)
+    plan = partition_dia(a, p)
+    mesh = row_mesh(p)
+    x = np.random.default_rng(0).standard_normal(a.shape[0]).astype(np.float32)
+    records = []
+    for name, ov in (("overlapped", True), ("serialized", False)):
+        op = DistSpmv(plan, mesh, overlap=ov)
+        xp = op.padded(x)
+        meas = measure(op.padded_op, xp)
+        rec = {"op": "dist_spmv_overlap_ab", "variant": name, "nshards": p,
+               "rows": a.shape[0], "seconds_per_op": meas.seconds_per_iter,
+               "reliable": meas.reliable}
+        records.append(rec)
+        print(json.dumps(rec), file=out, flush=True)
+    if len(records) == 2 and all(np.isfinite(r["seconds_per_op"]) for r in records):
+        hidden = records[1]["seconds_per_op"] - records[0]["seconds_per_op"]
+        rec = {"op": "dist_spmv_overlap_ab", "variant": "hidden_comm_seconds",
+               "value": hidden}
+        records.append(rec)
+        print(json.dumps(rec), file=out, flush=True)
+    return records

@@ -88,7 +88,8 @@ def _ring_halo(x_loc, lo: int, hi: int, axis: str, nshards: int):
     return left, right
 
 
-def _dia_local(plan: DiaPartition, x_loc, axis: str, interior: str = "xla"):
+def _dia_local(plan: DiaPartition, x_loc, axis: str, interior: str = "xla",
+               overlap: bool = True):
     vals = _sq(plan.vals)  # (D, mloc)
     mloc = plan.mloc
     lo, hi = plan.halo_lo, plan.halo_hi
@@ -96,6 +97,17 @@ def _dia_local(plan: DiaPartition, x_loc, axis: str, interior: str = "xla"):
     # 1. start the ring exchange (and the remainder's all_gather)
     left, right = _ring_halo(x_loc, lo, hi, axis, plan.nshards)
     y_rem = _coo_local(plan.remainder, x_loc, axis) if plan.remainder is not None else None
+
+    if not overlap:
+        # A/B instrumentation (SURVEY §7 hard-part (d)): force the
+        # interior to wait for the collectives — the measured difference
+        # vs overlap=True is the comm time actually hidden.
+        deps = tuple(v for v in (x_loc, left, right) if v is not None)
+        out = jax.lax.optimization_barrier(deps)
+        x_loc = out[0]
+        it = iter(out[1:])
+        left = next(it) if left is not None else None
+        right = next(it) if right is not None else None
 
     # 2. interior: shifted FMAs against zero-padded local x — no halo dep
     if interior == "pallas":
@@ -178,7 +190,8 @@ class DistSpmv:
     returned sharded arrays so no host round-trips occur.
     """
 
-    def __init__(self, plan, mesh: Optional[Mesh] = None, *, interior: str = "xla"):
+    def __init__(self, plan, mesh: Optional[Mesh] = None, *, interior: str = "xla",
+                 overlap: bool = True):
         self.plan = plan
         self.mesh = mesh if mesh is not None else row_mesh(plan.nshards)
         if self.mesh.shape[AXIS] != plan.nshards:
@@ -192,7 +205,7 @@ class DistSpmv:
                 raise ValueError(
                     "interior='pallas' needs partition_dia(..., align=8192)"
                 )
-            local = partial(_dia_local, interior=interior)
+            local = partial(_dia_local, interior=interior, overlap=overlap)
             local_mm = _dia_local_mm
         else:
             local = _coo_local

@@ -128,3 +128,24 @@ class TestPallasInterior:
         plan = partition_dia(a, 2)  # unaligned
         with pytest.raises(ValueError):
             DistSpmv(plan, _mesh(2), interior="pallas")
+
+
+class TestOverlapAB:
+    def test_serialized_variant_correct(self):
+        a = stencil_2d(40)
+        p = 4
+        plan = partition_dia(a, p)
+        rng = np.random.default_rng(20)
+        x = rng.standard_normal(a.shape[1])
+        y1 = DistSpmv(plan, _mesh(p), overlap=True)(x)
+        y2 = DistSpmv(plan, _mesh(p), overlap=False)(x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-13)
+
+    def test_bench_overlap_runs(self):
+        import io
+
+        from cask_tpu.bench.harness import bench_overlap
+
+        buf = io.StringIO()
+        recs = bench_overlap(side=32, nshards=4, out=buf)
+        assert len(recs) >= 2
