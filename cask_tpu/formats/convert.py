@@ -234,3 +234,32 @@ def to_scipy(a):
     if isinstance(a, BSR):
         return to_scipy(bsr_to_csr(a))
     raise TypeError(f"not a cask_tpu matrix: {type(a)}")
+
+
+# ---------------------------------------------------------------------------
+# jax.experimental.sparse interop (ecosystem compatibility; BCOO is JAX's
+# own batched-COO container — usable as a cross-check, not the hot path)
+# ---------------------------------------------------------------------------
+
+
+def from_bcoo(a) -> COO:
+    """Convert a ``jax.experimental.sparse.BCOO`` (unbatched, 2-D)."""
+    if a.indices.ndim != 2 or a.indices.shape[1] != 2:
+        raise ValueError("only unbatched 2-D BCOO supported")
+    idx = np.asarray(a.indices)
+    return coo_from_arrays(np.asarray(a.data), idx[:, 0], idx[:, 1], tuple(a.shape))
+
+
+def to_bcoo(a):
+    from jax.experimental.sparse import BCOO
+
+    import jax.numpy as jnp
+
+    if isinstance(a, CSR):
+        a = csr_to_coo(a)
+    if isinstance(a, BSR):
+        a = csr_to_coo(bsr_to_csr(a))
+    if not isinstance(a, COO):
+        raise TypeError(f"cannot convert {type(a)} to BCOO")
+    idx = jnp.stack([jnp.asarray(a.row), jnp.asarray(a.col)], axis=1)
+    return BCOO((jnp.asarray(a.data), idx), shape=a.shape)

@@ -10,3 +10,4 @@ from cask_tpu.ops.spmm import spmm  # noqa: F401
 from cask_tpu.ops.spgemm import spgemm, SpGEMMPlan  # noqa: F401
 from cask_tpu.ops.trisolve import trisolve, TriSolvePlan  # noqa: F401
 from cask_tpu.ops.ilu import ilu0, ILU0Factors  # noqa: F401
+from cask_tpu.ops.add import sp_add, add_plan, shift_identity, AddPlan  # noqa: F401

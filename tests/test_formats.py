@@ -213,3 +213,26 @@ class TestPytree:
             return mat.data.sum()
 
         f(b.device_put())
+
+
+class TestBcooInterop:
+    def test_roundtrip(self):
+        from cask_tpu.formats.convert import from_bcoo, to_bcoo, to_scipy
+
+        a = stencil_2d(8)
+        b = to_bcoo(a)
+        assert b.shape == a.shape
+        back = from_bcoo(b)
+        np.testing.assert_allclose(back.todense(), a.todense())
+
+    def test_bcoo_matvec_agrees(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import to_bcoo
+
+        a = stencil_2d(7)
+        x = np.random.default_rng(0).standard_normal(49)
+        y_bcoo = to_bcoo(a) @ jnp.asarray(x)
+        from cask_tpu import spmv
+
+        np.testing.assert_allclose(np.asarray(y_bcoo), np.asarray(spmv(a, x)), rtol=1e-12)

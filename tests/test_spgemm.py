@@ -98,3 +98,35 @@ class TestNativeBackend:
         a = random_uniform(70, 110, density=0.06, seed=10)
         b = random_uniform(110, 50, density=0.06, seed=11)
         _close(spgemm_native(a, b), to_scipy(a) @ to_scipy(b))
+
+
+class TestSparseAdd:
+    def test_add_union(self):
+        from cask_tpu.ops.add import sp_add
+
+        a = random_uniform(60, 60, density=0.05, seed=30)
+        b = random_uniform(60, 60, density=0.05, seed=31)
+        c = sp_add(a, b, alpha=2.0, beta=-0.5)
+        ref = 2.0 * to_scipy(a) - 0.5 * to_scipy(b)
+        _close(c, ref)
+
+    def test_plan_reuse(self):
+        from cask_tpu.ops.add import add_plan
+
+        a = random_uniform(50, 50, density=0.06, seed=32)
+        b = random_uniform(50, 50, density=0.06, seed=33)
+        plan = add_plan(a, b)
+        c1 = plan.numeric(a.data, b.data)
+        c2 = plan.numeric(np.asarray(a.data) * 3, b.data)
+        _close(c1, to_scipy(a) + to_scipy(b))
+        _close(c2, 3 * to_scipy(a) + to_scipy(b))
+
+    def test_shift_identity(self):
+        import scipy.sparse as sp
+
+        from cask_tpu.ops.add import shift_identity
+
+        a = power_law(80, avg_degree=4, seed=34)
+        c = shift_identity(a, -2.5)
+        ref = to_scipy(a) - 2.5 * sp.eye(80)
+        _close(c, ref)
