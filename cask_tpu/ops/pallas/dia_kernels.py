@@ -266,17 +266,80 @@ def _spmv_layout_kernel(offsets, lo_pad, pad_tiles, T, interpret,
         o_ref[...] = acc
 
 
-def dia_spmv_pallas_layout(a: "_dia.DiaMatrix", x2):
-    """SpMV in the solver layout: x2 and the result share shape/layout."""
+def _spmv_layout_window_kernel(offsets, pad_tiles, T, total_rows, interpret,
+                               x_hbm, v_ref, o_ref, xw_ref, sems):
+    # layout kernel with x in HBM: per-tile window double-buffered, so
+    # the x stream overlaps compute instead of one serial whole-array
+    # VMEM copy per call.
+    tt = pl.program_id(0)
+    TT = pl.num_programs(0)
+    q_min = min(off // _LANE for off in offsets)
+    q_max = max(off // _LANE for off in offsets)
+    wrows = _SUBL + (q_max - q_min) + 1
+
+    def start_of(step):
+        s0 = step * _SUBL + q_min
+        return jnp.clip(s0, 0, total_rows - wrows)
+
+    def dma(slot, step):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start_of(step), wrows), :], xw_ref.at[slot], sems.at[slot]
+        )
+
+    @pl.when(tt == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(tt + 1 < TT)
+    def _():
+        dma((tt + 1) % 2, tt + 1).start()
+
+    dma(tt % 2, tt).wait()
+    cur = tt % 2
+    in_body = (tt >= pad_tiles) & (tt < pad_tiles + T)
+
+    @pl.when(jnp.logical_not(in_body))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(in_body)
+    def _():
+        # body tiles never hit the clamp: start == tt*_SUBL + q_min
+        acc = jnp.zeros((_SUBL, _LANE), dtype=o_ref.dtype)
+        for d, off in enumerate(offsets):
+            q, s = divmod(off, _LANE)
+            sh = _shifted_window(xw_ref.at[cur], q - q_min, s, _SUBL, interpret)
+            acc = acc + v_ref[d, 0] * sh
+        o_ref[...] = acc
+
+
+def dia_spmv_pallas_layout(a: "_dia.DiaMatrix", x2, *, variant: str = "auto"):
+    """SpMV in the solver layout: x2 and the result share shape/layout.
+
+    ``variant``: 'windowed' streams x from HBM with double-buffered
+    per-tile windows (overlaps the x fetch with compute — measured
+    faster when the diagonal span is narrow); 'resident' copies x to
+    VMEM up front; 'auto' picks windowed for narrow spans.
+    """
     D = a.ndiags
     lo_pad, hi_pad = _layout_pads(a)
     T = a.m_pad // _TM
     pad_tiles = lo_pad // _TM
     total_tiles = (lo_pad + a.m_pad + hi_pad) // _TM
     db = jnp.dtype(x2.dtype).itemsize
-    if x2.size * db > _X_VMEM_BUDGET:
-        raise ValueError("solver layout requires VMEM-resident x (use the "
-                         "windowed kernel for larger matrices)")
+
+    q_min = min(off // _LANE for off in a.offsets)
+    q_max = max(off // _LANE for off in a.offsets)
+    wrows = _SUBL + (q_max - q_min) + 1
+    if variant == "auto":
+        # windowed re-reads x by wrows/_SUBL; prefer it while that factor
+        # stays small or x simply cannot fit VMEM
+        if wrows <= 2 * _SUBL or x2.size * db > _X_VMEM_BUDGET:
+            variant = "windowed"
+        else:
+            variant = "resident"
+    if variant == "resident" and x2.size * db > _X_VMEM_BUDGET:
+        raise ValueError("resident layout variant needs x to fit VMEM")
 
     # value tiles must be fetched for body tiles only; map pad tiles to
     # tile 0 (their values are never read)
@@ -289,21 +352,37 @@ def dia_spmv_pallas_layout(a: "_dia.DiaMatrix", x2):
         t = jnp.clip(tt - pad_tiles, 0, T - 1)
         return (0, t, 0, 0)
 
-    kernel = functools.partial(
-        _spmv_layout_kernel, a.offsets, lo_pad, pad_tiles, T, _interpret()
-    )
-    out = pl.pallas_call(
-        kernel,
+    common = dict(
         grid=(total_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, 1, _SUBL, _LANE), v_index, memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((_SUBL, _LANE), lambda tt: (tt, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((total_tiles * _SUBL, _LANE), out_dtype),
         interpret=_interpret(),
-    )(x2, v3)
+    )
+    v_spec = pl.BlockSpec((D, 1, _SUBL, _LANE), v_index, memory_space=pltpu.VMEM)
+    if variant == "resident":
+        kernel = functools.partial(
+            _spmv_layout_kernel, a.offsets, lo_pad, pad_tiles, T, _interpret()
+        )
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), v_spec],
+            **common,
+        )(x2, v3)
+    else:
+        kernel = functools.partial(
+            _spmv_layout_window_kernel, a.offsets, pad_tiles, T,
+            int(x2.shape[0]), _interpret(),
+        )
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), v_spec],
+            scratch_shapes=[
+                pltpu.VMEM((2, wrows, _LANE), x2.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            **common,
+        )(x2, v3)
     return out
 
 
