@@ -70,12 +70,14 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"# variant {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    def pallas_layout(dtype):
+    def pallas_layout(dtype, variant="auto"):
         d = scaled(dtype)
-        db = jnp.dtype(dtype).itemsize
         bytes_op = d.traffic_bytes + 2 * m * 4  # x/y stay f32 in layout
         xL = jax.jit(lambda v: dk.to_layout(d, v))(x0)
-        meas = measure_chained(lambda v: dk.dia_spmv_pallas_layout(d, v), xL)
+        vt = jax.jit(lambda: dk.pack_vals_tiled(d))()
+        meas = measure_chained(
+            lambda v: dk.dia_spmv_pallas_layout(d, v, variant=variant, v_tiled=vt), xL
+        )
         return meas, bytes_op
 
     def xla_chain(dtype):

@@ -162,9 +162,10 @@ class DiaOperator:
         if isinstance(a, CSR):
             a = dia_plan(a)
         self.dia = a
-        from cask_tpu.ops.pallas.dia_kernels import pallas_ok
+        from cask_tpu.ops.pallas.dia_kernels import pack_vals_tiled, pallas_ok
 
         self._use_layout = method in ("auto", "pallas") and pallas_ok(a, k=None)
+        self._v_tiled = pack_vals_tiled(a) if self._use_layout else None
         self.method = method
 
     def to_padded(self, v):
@@ -185,7 +186,7 @@ class DiaOperator:
         if self._use_layout:
             from cask_tpu.ops.pallas import dia_kernels as dk
 
-            return dk.dia_spmv_pallas_layout(self.dia, v)
+            return dk.dia_spmv_pallas_layout(self.dia, v, v_tiled=self._v_tiled)
         return self.dia.spmv(v, method=self.method)
 
 

@@ -247,7 +247,7 @@ def from_layout(a: "_dia.DiaMatrix", v2):
     return v2.reshape(-1)[lo_pad : lo_pad + a.shape[0]]
 
 
-def _spmv_layout_kernel(offsets, lo_pad, pad_tiles, T, interpret,
+def _spmv_layout_kernel(offsets, lo_pad, pad_tiles, T, tiled, interpret,
                         x_ref, v_ref, o_ref):
     tt = pl.program_id(0)
     in_body = (tt >= pad_tiles) & (tt < pad_tiles + T)
@@ -262,11 +262,12 @@ def _spmv_layout_kernel(offsets, lo_pad, pad_tiles, T, interpret,
         for d, off in enumerate(offsets):
             q, s = divmod(off, _LANE)  # floor division: q may be negative
             sh = _shifted_window(x_ref, tt * _SUBL + q, s, _SUBL, interpret)
-            acc = acc + v_ref[d, 0] * sh
+            v = v_ref[0, d] if tiled else v_ref[d, 0]
+            acc = acc + v * sh
         o_ref[...] = acc
 
 
-def _spmv_layout_window_kernel(offsets, pad_tiles, T, total_rows, interpret,
+def _spmv_layout_window_kernel(offsets, pad_tiles, T, total_rows, tiled, interpret,
                                x_hbm, v_ref, o_ref, xw_ref, sems):
     # layout kernel with x in HBM: per-tile window double-buffered, so
     # the x stream overlaps compute instead of one serial whole-array
@@ -309,11 +310,23 @@ def _spmv_layout_window_kernel(offsets, pad_tiles, T, total_rows, interpret,
         for d, off in enumerate(offsets):
             q, s = divmod(off, _LANE)
             sh = _shifted_window(xw_ref.at[cur], q - q_min, s, _SUBL, interpret)
-            acc = acc + v_ref[d, 0] * sh
+            v = v_ref[0, d] if tiled else v_ref[d, 0]
+            acc = acc + v * sh
         o_ref[...] = acc
 
 
-def dia_spmv_pallas_layout(a: "_dia.DiaMatrix", x2, *, variant: str = "auto"):
+def pack_vals_tiled(a: "_dia.DiaMatrix"):
+    """One-time repack of the diagonal values to (T, D, 64, 128): every
+    grid step's whole value block is contiguous in HBM — one large DMA
+    burst per tile instead of D strided slices (D separate streams at
+    m_pad·4-byte stride measurably underuse the DMA engine)."""
+    D = a.ndiags
+    T = a.m_pad // _TM
+    return jnp.transpose(a.vals.reshape(D, T, _SUBL, _LANE), (1, 0, 2, 3))
+
+
+def dia_spmv_pallas_layout(a: "_dia.DiaMatrix", x2, *, variant: str = "auto",
+                           v_tiled=None):
     """SpMV in the solver layout: x2 and the result share shape/layout.
 
     ``variant``: 'windowed' streams x from HBM with double-buffered
@@ -343,14 +356,20 @@ def dia_spmv_pallas_layout(a: "_dia.DiaMatrix", x2, *, variant: str = "auto"):
 
     # value tiles must be fetched for body tiles only; map pad tiles to
     # tile 0 (their values are never read)
-    v3 = a.vals.reshape(D, T, _SUBL, _LANE)
+    tiled = v_tiled is not None
+    v3 = v_tiled if tiled else a.vals.reshape(D, T, _SUBL, _LANE)
     out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, x2.dtype), jnp.float32) \
         if jnp.bfloat16 in (a.vals.dtype, x2.dtype) \
         else jnp.promote_types(a.vals.dtype, x2.dtype)
 
-    def v_index(tt):
-        t = jnp.clip(tt - pad_tiles, 0, T - 1)
-        return (0, t, 0, 0)
+    if tiled:
+        def v_index(tt):
+            t = jnp.clip(tt - pad_tiles, 0, T - 1)
+            return (t, 0, 0, 0)
+    else:
+        def v_index(tt):
+            t = jnp.clip(tt - pad_tiles, 0, T - 1)
+            return (0, t, 0, 0)
 
     common = dict(
         grid=(total_tiles,),
@@ -359,10 +378,11 @@ def dia_spmv_pallas_layout(a: "_dia.DiaMatrix", x2, *, variant: str = "auto"):
         out_shape=jax.ShapeDtypeStruct((total_tiles * _SUBL, _LANE), out_dtype),
         interpret=_interpret(),
     )
-    v_spec = pl.BlockSpec((D, 1, _SUBL, _LANE), v_index, memory_space=pltpu.VMEM)
+    v_block = (1, D, _SUBL, _LANE) if tiled else (D, 1, _SUBL, _LANE)
+    v_spec = pl.BlockSpec(v_block, v_index, memory_space=pltpu.VMEM)
     if variant == "resident":
         kernel = functools.partial(
-            _spmv_layout_kernel, a.offsets, lo_pad, pad_tiles, T, _interpret()
+            _spmv_layout_kernel, a.offsets, lo_pad, pad_tiles, T, tiled, _interpret()
         )
         out = pl.pallas_call(
             kernel,
@@ -372,7 +392,7 @@ def dia_spmv_pallas_layout(a: "_dia.DiaMatrix", x2, *, variant: str = "auto"):
     else:
         kernel = functools.partial(
             _spmv_layout_window_kernel, a.offsets, pad_tiles, T,
-            int(x2.shape[0]), _interpret(),
+            int(x2.shape[0]), tiled, _interpret(),
         )
         out = pl.pallas_call(
             kernel,
