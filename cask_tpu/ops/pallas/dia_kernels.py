@@ -407,6 +407,129 @@ def dia_spmv_pallas_layout(a: "_dia.DiaMatrix", x2, *, variant: str = "auto",
 
 
 # ---------------------------------------------------------------------------
+# Interleaved layout: lane l holds the contiguous vector segment
+# x[l·C : (l+1)·C] down its column, so a diagonal shift by ANY offset is a
+# plain sublane (row) slice — no lane rolls in the hot loop at all.  The
+# only lane work is a *carry correction* where a shift crosses a segment
+# boundary, which touches ceil(|off|/64) of the C/64 tiles per diagonal
+# (≈12% for off=1024, one tile for off=±1) and is gated with pl.when.
+# Structural zeros again absorb the vector's global edges (vals are zero
+# wherever i+off falls outside the matrix).  x must be VMEM-resident.
+# ---------------------------------------------------------------------------
+
+
+def _il_geometry(a: "_dia.DiaMatrix"):
+    C = a.m_pad // _LANE  # rows per lane segment
+    max_neg = max((-off for off in a.offsets if off < 0), default=0)
+    max_pos = max((off for off in a.offsets if off > 0), default=0)
+    P0 = -(-max(max_neg, 1) // _SUBL) * _SUBL
+    P1 = -(-max(max_pos + _SUBL, 1) // _SUBL) * _SUBL
+    return C, P0, P1
+
+
+def interleaved_ok(a: "_dia.DiaMatrix", dtype) -> bool:
+    if a.ndiags > _MAX_UNROLL_DIAGS or a.m_pad % _TM:
+        return False
+    C, P0, P1 = _il_geometry(a)
+    if C % _SUBL:
+        return False
+    if max(abs(o) for o in a.offsets) >= C:  # shift farther than a segment
+        return False
+    db = jnp.dtype(dtype).itemsize
+    return (P0 + C + P1) * _LANE * db <= _X_VMEM_BUDGET
+
+
+def to_interleaved(a: "_dia.DiaMatrix", v):
+    C, P0, P1 = _il_geometry(a)
+    n = a.shape[1]
+    flat = jnp.zeros((a.m_pad,), v.dtype).at[:n].set(v)
+    il = flat.reshape(_LANE, C).T  # (C, 128)
+    return jnp.pad(il, ((P0, P1), (0, 0)))
+
+
+def from_interleaved(a: "_dia.DiaMatrix", v2):
+    C, P0, P1 = _il_geometry(a)
+    return v2[P0 : P0 + C, :].T.reshape(-1)[: a.shape[0]]
+
+
+def pack_vals_interleaved(a: "_dia.DiaMatrix"):
+    """(T2, D, 64, 128) value tiles in the interleaved element order."""
+    C, _, _ = _il_geometry(a)
+    D = a.ndiags
+    vt = a.vals.reshape(D, _LANE, C).transpose(2, 0, 1)  # (C, D, 128)
+    return vt.reshape(C // _SUBL, _SUBL, D, _LANE).transpose(0, 2, 1, 3)
+
+
+def _spmv_il_kernel(offsets, C, p0t, T2, interpret, x_ref, v_ref, o_ref):
+    tt = pl.program_id(0)
+    in_body = (tt >= p0t) & (tt < p0t + T2)
+
+    @pl.when(jnp.logical_not(in_body))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(in_body)
+    def _():
+        acc = jnp.zeros((_SUBL, _LANE), dtype=o_ref.dtype)
+        for d, off in enumerate(offsets):
+            acc = acc + v_ref[0, d] * x_ref[pl.ds(tt * _SUBL + off, _SUBL), :]
+        o_ref[...] = acc
+
+    # segment-boundary carry corrections (rare, gated per diagonal)
+    rowg = (tt - p0t) * _SUBL + jax.lax.broadcasted_iota(
+        jnp.int32, (_SUBL, _LANE), 0
+    )
+    for d, off in enumerate(offsets):
+        if off > 0:
+            tt_hi = p0t + max(0, (C - off - (_SUBL - 1))) // _SUBL
+
+            @pl.when(in_body & (tt >= tt_hi))
+            def _(d=d, off=off):
+                read = x_ref[pl.ds(tt * _SUBL + off - C, _SUBL), :]
+                corr = _roll_lanes(read, 1, interpret)  # lane l ← l+1
+                mask = rowg + off >= C
+                o_ref[...] += v_ref[0, d] * jnp.where(mask, corr, 0)
+        elif off < 0:
+            tt_lo = p0t + (-off - 1) // _SUBL
+
+            @pl.when(in_body & (tt <= tt_lo))
+            def _(d=d, off=off):
+                read = x_ref[pl.ds(tt * _SUBL + off + C, _SUBL), :]
+                corr = _roll_lanes(read, _LANE - 1, interpret)  # lane l ← l-1
+                mask = rowg + off < 0
+                o_ref[...] += v_ref[0, d] * jnp.where(mask, corr, 0)
+
+
+def dia_spmv_pallas_interleaved(a: "_dia.DiaMatrix", x2, v_il):
+    """SpMV in the interleaved layout (input/output share it)."""
+    D = a.ndiags
+    C, P0, P1 = _il_geometry(a)
+    T2 = C // _SUBL
+    p0t = P0 // _SUBL
+    total_tiles = (P0 + C + P1) // _SUBL
+    out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, x2.dtype), jnp.float32) \
+        if jnp.bfloat16 in (a.vals.dtype, x2.dtype) \
+        else jnp.promote_types(a.vals.dtype, x2.dtype)
+
+    def v_index(tt):
+        return (jnp.clip(tt - p0t, 0, T2 - 1), 0, 0, 0)
+
+    kernel = functools.partial(_spmv_il_kernel, a.offsets, C, p0t, T2, _interpret())
+    return pl.pallas_call(
+        kernel,
+        grid=(total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, _SUBL, _LANE), v_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_SUBL, _LANE), lambda tt: (tt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total_tiles * _SUBL, _LANE), out_dtype),
+        interpret=_interpret(),
+    )(x2, v_il)
+
+
+# ---------------------------------------------------------------------------
 # SpMM
 # ---------------------------------------------------------------------------
 

@@ -153,3 +153,36 @@ class TestSolverLayout:
         res = cg(op, op.to_padded(b), tol=1e-8, maxiter=600)
         x = np.asarray(op.from_padded(res.x))
         np.testing.assert_allclose(to_scipy(a) @ x, b, rtol=1e-5, atol=1e-6)
+
+
+class TestInterleaved:
+    @pytest.mark.parametrize("gen", [
+        lambda: __import__("cask_tpu").generate.stencil_2d(95),
+        lambda: __import__("cask_tpu").generate.banded(9000, 3, seed=2),
+        lambda: __import__("cask_tpu").generate.stencil_2d(256),
+    ])
+    def test_correct_and_chains(self, gen):
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        a = gen()
+        d = dia_plan(a)
+        assert dk.interleaved_ok(d, jnp.float64)
+        x = np.random.default_rng(0).standard_normal(a.shape[0])
+        ref = to_scipy(a) @ x
+        xI = dk.to_interleaved(d, jnp.asarray(x))
+        vI = dk.pack_vals_interleaved(d)
+        yI = dk.dia_spmv_pallas_interleaved(d, xI, vI)
+        np.testing.assert_allclose(np.asarray(dk.from_interleaved(d, yI)), ref,
+                                   rtol=1e-12, atol=1e-10)
+        y2 = dk.from_interleaved(d, dk.dia_spmv_pallas_interleaved(d, yI, vI))
+        np.testing.assert_allclose(np.asarray(y2), to_scipy(a) @ ref,
+                                   rtol=1e-12, atol=1e-10)
+
+    def test_rejects_wide_offsets(self):
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        a = __import__("cask_tpu").generate.stencil_2d(128)  # off == C
+        d = dia_plan(a)
+        assert not dk.interleaved_ok(d, jnp.float32)
