@@ -52,6 +52,10 @@ def main(argv=None):
     p_sc.add_argument("--side", type=int, default=512)
     p_sc.add_argument("--shards", default="1,2,4,8")
 
+    p_ov = sub.add_parser("overlap")
+    p_ov.add_argument("--side", type=int, default=512)
+    p_ov.add_argument("--shards", type=int, default=None)
+
     p_tn = sub.add_parser("tune")
     p_tn.add_argument("--mtx", default=None)
     p_tn.add_argument("--suite", default="small", choices=["small", "medium"])
@@ -83,6 +87,10 @@ def main(argv=None):
             bench_scaling(side=args.side,
                           nshards_list=[int(s) for s in args.shards.split(",")],
                           out=out)
+        elif args.cmd == "overlap":
+            from cask_tpu.bench.harness import bench_overlap
+
+            bench_overlap(side=args.side, nshards=args.shards, out=out)
         elif args.cmd == "tune":
             from cask_tpu.tune import tune
 

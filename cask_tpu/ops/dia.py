@@ -158,35 +158,56 @@ class DiaOperator:
         x = op.from_padded(res.x)
     """
 
-    def __init__(self, a, *, method: str = "auto"):
+    def __init__(self, a, *, method: str = "auto", layout: str = "auto"):
         if isinstance(a, CSR):
             a = dia_plan(a)
         self.dia = a
-        from cask_tpu.ops.pallas.dia_kernels import pack_vals_tiled, pallas_ok
+        from cask_tpu.ops.pallas import dia_kernels as dk
 
-        self._use_layout = method in ("auto", "pallas") and pallas_ok(a, k=None)
-        self._v_tiled = pack_vals_tiled(a) if self._use_layout else None
+        mode = "xla"
+        if method in ("auto", "pallas"):
+            if layout in ("auto", "interleaved") and dk.interleaved_ok(a, a.vals.dtype):
+                mode = "interleaved"
+            elif layout in ("auto", "layout") and dk.pallas_ok(a, k=None):
+                mode = "layout"
+        self.mode = mode
+        if mode == "interleaved":
+            self._v_pack = dk.pack_vals_interleaved(a)
+        elif mode == "layout":
+            self._v_pack = dk.pack_vals_tiled(a)
+        else:
+            self._v_pack = None
         self.method = method
 
-    def to_padded(self, v):
-        if self._use_layout:
-            from cask_tpu.ops.pallas import dia_kernels as dk
+    @property
+    def _use_layout(self) -> bool:  # backwards-compat for callers/tests
+        return self.mode != "xla"
 
+    def to_padded(self, v):
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        if self.mode == "interleaved":
+            return dk.to_interleaved(self.dia, jnp.asarray(v))
+        if self.mode == "layout":
             return dk.to_layout(self.dia, jnp.asarray(v))
         return jnp.asarray(v)
 
     def from_padded(self, v):
-        if self._use_layout:
-            from cask_tpu.ops.pallas import dia_kernels as dk
+        from cask_tpu.ops.pallas import dia_kernels as dk
 
+        if self.mode == "interleaved":
+            return dk.from_interleaved(self.dia, v)
+        if self.mode == "layout":
             return dk.from_layout(self.dia, v)
         return v
 
     def __call__(self, v):
-        if self._use_layout:
-            from cask_tpu.ops.pallas import dia_kernels as dk
+        from cask_tpu.ops.pallas import dia_kernels as dk
 
-            return dk.dia_spmv_pallas_layout(self.dia, v, v_tiled=self._v_tiled)
+        if self.mode == "interleaved":
+            return dk.dia_spmv_pallas_interleaved(self.dia, v, self._v_pack)
+        if self.mode == "layout":
+            return dk.dia_spmv_pallas_layout(self.dia, v, v_tiled=self._v_pack)
         return self.dia.spmv(v, method=self.method)
 
 

@@ -1,21 +1,29 @@
 """Pallas TPU kernels for diagonal-packed (DIA) SpMV / SpMM.
 
-Design (see :mod:`cask_tpu.ops.dia` for the format):
+Design (see :mod:`cask_tpu.ops.dia` for the format): the value array is
+the dominant HBM traffic and streams tile-by-tile through the Pallas
+pipeline (cask's nnz-stream analog); x sits on-chip (cask's BRAM vector
+cache).  All shift amounts come from the static ``offsets`` tuple, so
+diagonal loops fully unroll at trace time.  Grid: row tiles of
+64×128 = 8192 elements (matching the pack-time padding — no partial
+blocks exist).
 
-- The (ndiags, m_pad) value array is the dominant HBM traffic.  It is
-  streamed tile-by-tile through the automatic Pallas pipeline (double-
-  buffered DMA), exactly the role of cask's nnz stream into the DFE.
-- x is VMEM-resident (cask's BRAM vector cache).  Each diagonal is a
-  *statically known* shift: for SpMV the flat shift ``s`` decomposes into
-  a sublane part (a dynamic row slice) and a lane part (two static
-  ``roll``s + a select); for SpMM the shift moves whole rows, so it is a
-  plain slice — no lane ops at all.
-- All shift amounts come from the static ``offsets`` tuple, so the loop
-  over diagonals fully unrolls at trace time: zero scalar work per tile
-  beyond the row-slice starts.
+Kernel family (each measured on hardware, see PERF.md):
 
-Grid: one dimension over row tiles of 64×128 = 8192 rows (``_ROW_TILE``,
-matching the pack-time padding, so no partial blocks exist).
+- ``dia_spmv_pallas[_padded]`` — row-major (rows, 128) x; each diagonal
+  shift is a sublane slice + a lane roll/select pair.  Variants:
+  VMEM-resident x, or double-buffered HBM windows for large x.
+- ``dia_spmv_pallas_layout`` — same math in a self-padding layout whose
+  output chains directly as the next input (zero-copy solver loops).
+- ``dia_spmv_pallas_interleaved`` — lanes hold contiguous vector
+  segments, so every shift is a *pure sublane slice*; rare pl.when-gated
+  lane-carry corrections at segment boundaries.  Removes the roll/select
+  VPU work that bounds the row-major kernels (~40 µs floor at 1M rows).
+- ``dia_spmm_pallas[_padded]`` — X (n, k) dense: shifts are row slices;
+  resident or double-buffered windowed X with span-amortizing tiles.
+
+SpMV edge discipline everywhere: padded/out-of-range positions carry
+structural zero *values*, so no runtime masks exist in the main loops.
 """
 
 from __future__ import annotations
