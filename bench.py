@@ -24,6 +24,15 @@ def main():
     t_start = time.time()
     import jax
 
+    # persistent compile cache: kernel compiles cost minutes through the
+    # axon remote-compile relay; cache them across processes
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from cask_tpu.utils.platform import on_tpu as _on_tpu
 
     if not _on_tpu():
