@@ -46,6 +46,22 @@ def bench_matrix(name: str, a: CSR, *, k: Optional[int] = None,
     x0 = jnp.asarray(
         rng.standard_normal((a.shape[1], k) if k else a.shape[1]).astype(dtype)
     )
+    # host scipy baseline (cask analog: the MKL/CPU comparison column)
+    scipy_s = None
+    try:
+        from cask_tpu.formats.convert import to_scipy
+
+        s = to_scipy(a).astype(dtype)
+        xh = np.asarray(x0)
+        s @ xh  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s @ xh
+            best = min(best, time.perf_counter() - t0)
+        scipy_s = best
+    except Exception:
+        pass
     records = []
     for var in cand:
         rec = {
@@ -63,6 +79,9 @@ def bench_matrix(name: str, a: CSR, *, k: Optional[int] = None,
             traffic = spmv_traffic(dev if not callable(dev) else a, var.name, k or 1)
             rec.update(traffic.record(meas.seconds_per_iter))
             rec["reliable"] = meas.reliable
+            if scipy_s is not None and meas.seconds_per_iter > 0:
+                rec["scipy_seconds"] = scipy_s
+                rec["speedup_vs_scipy"] = round(scipy_s / meas.seconds_per_iter, 2)
         except Exception as e:  # noqa: BLE001 — failed variants are data
             rec["error"] = f"{type(e).__name__}: {e}"
         records.append(rec)
