@@ -104,16 +104,20 @@ def _iterate_chained(step: Callable, x0, k):
     return jnp.mean(jnp.abs(xk.reshape(-1)[:128]).astype(jnp.float32))
 
 
-def measure_chained(step: Callable, x0, *, k1: int = 20, k2: int = 220,
+def measure_chained(step: Callable, x0, *, k1: int = 20, k2: int = 320,
+                    points: int = 4, repeats: int = 2,
                     tol_rel: float = 0.25) -> Measurement:
     """Timing for *endomorphic* steps (``step: x → x``-shaped).
 
-    Purest protocol: iterations chain directly, so there are no input
-    pools, gathers, or padding copies polluting a bandwidth number — the
-    device runs back-to-back kernels.  The caller must supply a step
-    that is numerically stable under composition (e.g. a spectrally
-    scaled SpMV): over/underflow doesn't crash a timing, but renders the
-    checksum canary useless.
+    Purest protocol: iterations chain directly, so no input pools or
+    padding copies pollute a bandwidth number.  Estimation uses a
+    *ladder* of iteration counts and the **minimum pairwise slope**:
+    the axon relay's completion polling adds latency that grows with run
+    length, so any single two-point difference over-estimates; every
+    inflation is additive, making the min slope the least-biased
+    estimate (measured: large-k slopes read ~25% high, SURVEY-class
+    pathology).  The caller must supply a step that is numerically
+    stable under composition (e.g. a spectrally scaled SpMV).
     """
     x0 = jnp.asarray(x0)
     f = jax.jit(_iterate_chained, static_argnums=(0,))
@@ -123,16 +127,30 @@ def measure_chained(step: Callable, x0, *, k1: int = 20, k2: int = 220,
         val = float(f(step, x0, jnp.int32(k)))
         return time.perf_counter() - t0, val
 
-    run(k1)
-    run(k2)
-    ests = []
+    ks = [int(round(k1 + (k2 - k1) * i / (points - 1))) for i in range(points)]
+    run(ks[0])  # compile + warm
+    run(ks[-1])
     v1 = float("nan")
-    for _ in range(3):
-        t1, v1 = run(k1)
-        t2, _ = run(k2)
-        ests.append((t2 - t1) / (k2 - k1))
-    pos = [e for e in ests if e > 0]
+    walls = {k: float("inf") for k in ks}
+    for _ in range(repeats):
+        for k in ks:
+            t, v1 = run(k)
+            walls[k] = min(walls[k], t)
+
+    slopes = []
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            dk = ks[j] - ks[i]
+            if dk > 0:
+                slopes.append((walls[ks[j]] - walls[ks[i]]) / dk)
+    pos = [s for s in slopes if s > 0]
     best = min(pos) if pos else float("inf")
-    spread = (max(pos) - min(pos)) / best if pos else float("inf")
-    reliable = len(pos) == len(ests) and spread <= 2 * tol_rel
+    # reliability: adjacent-pair slopes should bracket the min within tol
+    adj = [
+        (walls[ks[i + 1]] - walls[ks[i]]) / (ks[i + 1] - ks[i])
+        for i in range(len(ks) - 1)
+    ]
+    adj_pos = [s for s in adj if s > 0]
+    spread = (max(adj_pos) - min(adj_pos)) / best if adj_pos and best > 0 else float("inf")
+    reliable = len(adj_pos) == len(adj) and spread <= 2 * tol_rel
     return Measurement(seconds_per_iter=best, reliable=reliable, checksum=v1)
