@@ -186,3 +186,51 @@ class TestInterleaved:
         a = __import__("cask_tpu").generate.stencil_2d(128)  # off == C
         d = dia_plan(a)
         assert not dk.interleaved_ok(d, jnp.float32)
+
+
+class TestLell:
+    @pytest.mark.parametrize("groups", [4, 8, 16])
+    def test_grouped_correct(self, groups):
+        import cask_tpu
+        from cask_tpu.ops.pallas.lell_kernels import lell_plan
+
+        a = cask_tpu.generate.random_uniform(2000, density=0.008, seed=3)
+        p = lell_plan(a, max_layers=6, groups=groups)
+        x = np.random.default_rng(0).standard_normal(a.shape[1])
+        y = np.asarray(p.spmv(jnp.asarray(x)))
+        np.testing.assert_allclose(y, to_scipy(a) @ x, rtol=1e-11, atol=1e-11)
+
+    def test_hyb_powerlaw(self):
+        import cask_tpu
+        from cask_tpu.ops.pallas.lell_kernels import lell_plan_hyb
+
+        a = cask_tpu.generate.power_law(3000, avg_degree=10, seed=6)
+        h = lell_plan_hyb(a, groups=8, max_layers=6)
+        x = np.random.default_rng(1).standard_normal(a.shape[1])
+        y = np.asarray(h.spmv(jnp.asarray(x)))
+        np.testing.assert_allclose(y, to_scipy(a) @ x, rtol=1e-10, atol=1e-10)
+        # hubs took the tail: residual COO spill must be small
+        assert h.main.rem_data.shape[0] < 0.02 * a.nnz
+
+    def test_hyb_no_hubs(self):
+        import cask_tpu
+        from cask_tpu.ops.pallas.lell_kernels import lell_plan_hyb
+
+        a = cask_tpu.generate.stencil_2d(40)
+        h = lell_plan_hyb(a)
+        assert h.hub.vals.shape[1] == 0 or h.hub.fill() >= 0
+        x = np.random.default_rng(2).standard_normal(a.shape[1])
+        np.testing.assert_allclose(
+            np.asarray(h.spmv(jnp.asarray(x))), to_scipy(a) @ x, rtol=1e-11, atol=1e-11
+        )
+
+    def test_rectangular(self):
+        import cask_tpu
+        from cask_tpu.ops.pallas.lell_kernels import lell_plan
+
+        a = cask_tpu.generate.random_uniform(1500, 900, density=0.01, seed=7)
+        p = lell_plan(a, groups=8)
+        x = np.random.default_rng(3).standard_normal(900)
+        np.testing.assert_allclose(
+            np.asarray(p.spmv(jnp.asarray(x))), to_scipy(a) @ x, rtol=1e-11, atol=1e-11
+        )
