@@ -70,6 +70,12 @@ class Variant:
             b = int(self.name.split(":")[1])
             kern = BsrSpmmKernel.plan(csr_to_bsr(a, (b, b)), k=k or 1)
             return kern, kern.__call__
+        if self.name.startswith("lell:"):
+            from cask_tpu.ops.pallas.lell_kernels import lell_plan_hyb
+
+            g = int(self.name.split(":")[1])
+            dev = lell_plan_hyb(a, groups=g).device_put()
+            return dev, dev.spmv
         raise ValueError(f"unknown variant {self.name!r}")
 
 
@@ -123,6 +129,14 @@ def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
         # XLA formulation of the same split: slightly more traffic
         # (padded-x materialization) but no Pallas size constraints
         out.append(Variant("dia_xla", est * db + 2.0 * xbytes))
+
+    if include_pallas and k is None and n * db <= (1 << 22):
+        # lane-bucketed gather (unstructured matrices); slots estimated
+        # from the expected per-(slot-row, lane) load
+        for g in (8, 16):
+            load = max(1.0, g * (nnz / max(m, 1)) / 128.0)
+            slots = (m / g) * 128 * min(load + 2.0, 6.0)
+            out.append(Variant(f"lell:{g}", slots * (db + 4) + xbytes))
     return out
 
 

@@ -90,3 +90,22 @@ class TestMeasure:
         x0 = jnp.ones(256)
         m = measure(step, x0, k1=3, k2=9)
         assert np.isfinite(m.checksum)
+
+
+class TestLellVariant:
+    def test_enumerated_for_unstructured(self):
+        a = power_law(500, avg_degree=5, seed=3)
+        vs = enumerate_variants(a, signature(a), None)
+        assert any(v.name.startswith("lell:") for v in vs)
+
+    def test_builds_and_correct(self, tmp_tuner_cache):
+        from cask_tpu.tune.tuner import Variant
+
+        a = power_law(800, avg_degree=6, seed=4)
+        dev, fn = Variant("lell:8", 0.0).build(a, None)
+        x = np.random.default_rng(0).standard_normal(a.shape[1])
+        import jax.numpy as jnp
+
+        np.testing.assert_allclose(
+            np.asarray(fn(jnp.asarray(x))), to_scipy(a) @ x, rtol=1e-10, atol=1e-10
+        )
