@@ -87,9 +87,10 @@ class DiaMatrix:
         if method in ("auto", "pallas"):
             from cask_tpu.ops.pallas.dia_kernels import dia_spmv_pallas, pallas_ok
 
-            if pallas_ok(self, k=None) and method == "pallas" or (
-                method == "auto" and pallas_ok(self, k=None) and _on_tpu()
-            ):
+            use = pallas_ok(self, k=None) and (
+                method == "pallas" or _on_tpu()
+            )
+            if use:
                 y = dia_spmv_pallas(self, x)
                 return y + self._remainder_spmv(x) if self.rem_data.shape[0] else y
         return self._spmv_xla(x)
