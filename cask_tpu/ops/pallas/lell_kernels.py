@@ -26,6 +26,7 @@ binning as the bank-conflict-avoidance scheme.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -275,88 +276,100 @@ def lell_plan_hyb(a: CSR, *, groups: int = 8, max_layers: int = 6,
     return HybLell(main=main, hub=hub)
 
 
-def _lell_kernel(L, G, interpret, x_ref, v_ref, i_ref, o_ref):
-    # x_ref resident (C, 128) bucket-replicated; v/i blocks (L, _ROWS, 128);
-    # o_ref block (_ROWS, G): per slot row, the G group sums
-    acc = jnp.zeros((_ROWS, _LANE), dtype=o_ref.dtype)
-    for ell in range(L):
-        g = jnp.take_along_axis(x_ref[...], i_ref[ell], axis=0)
-        acc = acc + v_ref[ell] * g
-    B = _LANE // G
-    o_ref[...] = jnp.sum(acc.reshape(_ROWS, G, B), axis=2)
+def _lell_kernel(L, G, SB, interpret, x_ref, v_ref, i_ref, o_ref, acc_ref):
+    # Mosaic's gather lowering requires operand.shape == indices.shape,
+    # so x is padded to the slot-chunk shape (SB, 128) and each grid step
+    # gathers one whole layer of one chunk.  Grid: (chunks, L); the acc
+    # scratch persists across the layer dimension.
+    ell = pl.program_id(1)
+
+    @pl.when(ell == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    g = jnp.take_along_axis(x_ref[...], i_ref[0], axis=0)
+    acc_ref[...] += (v_ref[0] * g).astype(acc_ref.dtype)
+
+    @pl.when(ell == L - 1)
+    def _():
+        B = _LANE // G
+        o_ref[...] = jnp.sum(
+            acc_ref[...].reshape(SB, G, B), axis=2
+        ).astype(o_ref.dtype)
+
+
+# slot-chunk rows: must hold all of x2 (C rows) and bound VMEM; the
+# gather's shape-equality rule makes this also the per-step block height.
+_SB_CAP = 4096
+
+
+def _lell_call(vals, idx, x2, G, out_dtype, interpret):
+    """Shared driver: grid (chunks, L), scratch accumulator, in-kernel
+    group reduce.  x2 is (C, 128); returns (S_pad, G) group sums."""
+    L, s_pad, _ = vals.shape
+    C = int(x2.shape[0])
+    SB = max(-(-C // _ROWS) * _ROWS, _ROWS)
+    if SB > _SB_CAP:
+        raise ValueError(
+            f"LELL: x bucket rows ({C}) exceed the slot-chunk cap {_SB_CAP} "
+            "(matrix too wide for this group count)"
+        )
+    # slot rows pad to a multiple of SB so every chunk is full
+    s_pad2 = -(-max(s_pad, 1) // SB) * SB
+    if s_pad2 != s_pad:
+        pad = s_pad2 - s_pad
+        vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
+    x2p = jnp.pad(x2, ((0, SB - C), (0, 0))) if SB != C else x2
+    chunks = s_pad2 // SB
+
+    kernel = functools.partial(_lell_kernel, L, G, SB, interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid=(chunks, L),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SB, _LANE), lambda c, ell: (ell, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SB, _LANE), lambda c, ell: (ell, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SB, G), lambda c, ell: (c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((chunks * SB, G), out_dtype),
+        scratch_shapes=[pltpu.VMEM((SB, _LANE), out_dtype)],
+        interpret=interpret,
+    )(x2p, vals, idx)
+    return out  # (>= s_pad, G)
+
+
+def _out_dtype(vdt, xdt):
+    if jnp.bfloat16 in (vdt, xdt):
+        return jnp.promote_types(jnp.promote_types(vdt, xdt), jnp.float32)
+    return jnp.promote_types(vdt, xdt)
 
 
 def _lell_lane_sums(a: ChunkedLell, x):
     """Per-slot-row lane sums for the chunked hub tier (G=1)."""
     m, n = a.shape
-    L = a.layers
-    db = jnp.dtype(x.dtype).itemsize
-    C = -(-n // _LANE)
-    if C * _LANE * db > _X_VMEM_BUDGET:
-        raise ValueError("chunked LELL needs x resident in VMEM")
-    x2 = jnp.zeros((C * _LANE,), x.dtype).at[:n].set(x).reshape(C, _LANE)
-    s_pad = int(a.vals.shape[1])
-    if s_pad == 0:
+    if int(a.vals.shape[1]) == 0:
         return jnp.zeros((0,), x.dtype)
-    T = s_pad // _ROWS
-    out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, x.dtype), jnp.float32) \
-        if jnp.bfloat16 in (a.vals.dtype, x.dtype) \
-        else jnp.promote_types(a.vals.dtype, x.dtype)
-    kernel = lambda x_ref, v_ref, i_ref, o_ref: _lell_kernel(  # noqa: E731
-        L, 1, _interpret(), x_ref, v_ref, i_ref, o_ref
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, _ROWS, _LANE), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, _ROWS, _LANE), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_ROWS, 1), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T * _ROWS, 1), out_dtype),
-        interpret=_interpret(),
-    )(x2, a.vals, a.idx)
-    return out.reshape(-1)
+    C = -(-n // _LANE)
+    x2 = jnp.zeros((C * _LANE,), x.dtype).at[:n].set(x).reshape(C, _LANE)
+    out = _lell_call(a.vals, a.idx, x2, 1, _out_dtype(a.vals.dtype, x.dtype),
+                     _interpret())
+    return out.reshape(-1)[: int(a.vals.shape[1])]
 
 
 def lell_spmv_pallas(a: LellMatrix, x):
     m, n = a.shape
-    L = a.layers
     G = a.groups
     B = a.bucket
-    db = jnp.dtype(x.dtype).itemsize
     C = -(-n // B)
-    if C * _LANE * db > _X_VMEM_BUDGET:
-        raise ValueError("LELL needs the bucket-replicated x resident in VMEM")
     # bucket-replicated layout: x2[r, l] = x[r*B + (l % B)]
     xp = jnp.zeros((C * B,), x.dtype).at[:n].set(x)
     x2 = jnp.tile(xp.reshape(C, B), (1, G))
-    T = a.s_pad // _ROWS
-
-    out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, x.dtype), jnp.float32) \
-        if jnp.bfloat16 in (a.vals.dtype, x.dtype) \
-        else jnp.promote_types(a.vals.dtype, x.dtype)
-    kernel = lambda x_ref, v_ref, i_ref, o_ref: _lell_kernel(  # noqa: E731
-        L, G, _interpret(), x_ref, v_ref, i_ref, o_ref
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, _ROWS, _LANE), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, _ROWS, _LANE), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_ROWS, G), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T * _ROWS, G), out_dtype),
-        interpret=_interpret(),
-    )(x2, a.vals, a.idx)
+    out = _lell_call(a.vals, a.idx, x2, G, _out_dtype(a.vals.dtype, x.dtype),
+                     _interpret())
     # slot row s, group g → real row s*G + g: row-major flatten
-    return out.reshape(-1)[:m]
+    return out[: a.s_pad].reshape(-1)[:m]
