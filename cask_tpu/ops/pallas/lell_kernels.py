@@ -292,10 +292,14 @@ def _lell_kernel(L, G, SB, interpret, x_ref, v_ref, i_ref, o_ref, acc_ref):
 
     @pl.when(ell == L - 1)
     def _():
+        # per-group lane reductions: Mosaic cannot shape-cast lanes into
+        # (G, B), but lane-slice + reduce lowers fine
         B = _LANE // G
-        o_ref[...] = jnp.sum(
-            acc_ref[...].reshape(SB, G, B), axis=2
-        ).astype(o_ref.dtype)
+        for g in range(G):
+            seg = acc_ref[:, g * B : (g + 1) * B]
+            o_ref[:, g : g + 1] = jnp.sum(seg, axis=1, keepdims=True).astype(
+                o_ref.dtype
+            )
 
 
 # slot-chunk rows: must hold all of x2 (C rows) and bound VMEM; the
