@@ -156,13 +156,19 @@ class TunedSpmv:
 
 
 def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
-         time_budget: int = 3, include_pallas: bool = True,
+         time_budget: int = 3, include_pallas: Optional[bool] = None,
          force: bool = False) -> TunedSpmv:
     """Pick the fastest kernel variant for matrix ``a`` (SpMV, or SpMM
     with ``k`` dense columns); cache the winner by sparsity signature.
 
     ``time_budget``: how many top analytic candidates to actually time.
+    ``include_pallas`` defaults to "only on TPU": interpret-mode timings
+    on CPU are meaningless for kernel choice and painfully slow.
     """
+    if include_pallas is None:
+        from cask_tpu.utils.platform import on_tpu
+
+        include_pallas = on_tpu()
     if not isinstance(a, CSR):
         from cask_tpu.formats.convert import bsr_to_csr, coo_to_csr
         from cask_tpu.formats.matrix import BSR, COO
