@@ -21,6 +21,15 @@ G=8 brings typical graph matrices to ~20–40% slot fill.
 
 cask analog: SURVEY.md §2 R5's banked BRAM vector cache, with lane
 binning as the bank-conflict-avoidance scheme.
+
+STATUS — experimental / interpret-validated only.  Hardware probes
+(.tpu_logs/probe11*.log) established that Mosaic's ``tpu.dynamic_gather``
+only shuffles within a *single vreg* along the gather dimension
+("Multiple source vregs along gather dimension" is unimplemented on
+v5e), so gathers deeper than 8 sublanes cannot lower and this kernel
+cannot run compiled.  It is kept as the ready-made design for when
+Mosaic grows deep gathers (or for SparseCore-class backends); the tuner
+does not enumerate it.
 """
 
 from __future__ import annotations

@@ -130,13 +130,12 @@ def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
         # (padded-x materialization) but no Pallas size constraints
         out.append(Variant("dia_xla", est * db + 2.0 * xbytes))
 
-    if include_pallas and k is None and n * db <= (1 << 22):
-        # lane-bucketed gather (unstructured matrices); slots estimated
-        # from the expected per-(slot-row, lane) load
-        for g in (8, 16):
-            load = max(1.0, g * (nnz / max(m, 1)) / 128.0)
-            slots = (m / g) * 128 * min(load + 2.0, 6.0)
-            out.append(Variant(f"lell:{g}", slots * (db + 4) + xbytes))
+    # NOTE: the LELL lane-bucketed gather kernel is deliberately NOT
+    # enumerated: Mosaic's tpu.dynamic_gather only shuffles within a
+    # single vreg along the gather dimension (measured on v5e — "Multiple
+    # source vregs along gather dimension" is unimplemented), so deep
+    # random gathers cannot lower.  Unstructured matrices ride csr_xla
+    # (+ RCM reordering toward the structured kernels).
     return out
 
 

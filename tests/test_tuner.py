@@ -93,10 +93,12 @@ class TestMeasure:
 
 
 class TestLellVariant:
-    def test_enumerated_for_unstructured(self):
+    def test_not_enumerated(self):
+        # Mosaic's gather depth limit makes LELL uncompilable on TPU;
+        # it must stay out of the variant space (see lell_kernels docs)
         a = power_law(500, avg_degree=5, seed=3)
         vs = enumerate_variants(a, signature(a), None)
-        assert any(v.name.startswith("lell:") for v in vs)
+        assert not any(v.name.startswith("lell:") for v in vs)
 
     def test_builds_and_correct(self, tmp_tuner_cache):
         from cask_tpu.tune.tuner import Variant
