@@ -590,6 +590,12 @@ def _spmm_window_kernel(offsets, lo, hi, tm, kp, pretransposed, x_hbm, v_ref, o_
 _SPMM_TM = 256  # minimum rows of y per grid step
 
 
+# SpMM windows may use more VMEM than the resident-x budget: the window
+# chooser accounts for every buffer it allocates, so it can push closer
+# to the 16 MB scoped limit (the out tile + temps terms below).
+_SPMM_VMEM_BUDGET = 12 * 1024 * 1024
+
+
 def _spmm_tile(a: "_dia.DiaMatrix", kp: int, db: int) -> int:
     """Pick the y-tile row count: large enough that the window's span
     overhead amortizes (window = tm + span re-read per tile), small
@@ -602,7 +608,7 @@ def _spmm_tile(a: "_dia.DiaMatrix", kp: int, db: int) -> int:
             continue
         # VMEM: 2 window buffers + double-buffered out tile + one temp
         need = (2 * (tm + span) + 3 * tm) * kp * db
-        if need <= _X_VMEM_BUDGET:
+        if need <= _SPMM_VMEM_BUDGET:
             return tm
     return _SUBL
 

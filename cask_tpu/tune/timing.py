@@ -143,14 +143,15 @@ def measure_chained(step: Callable, x0, *, k1: int = 20, k2: int = 320,
             dk = ks[j] - ks[i]
             if dk > 0:
                 slopes.append((walls[ks[j]] - walls[ks[i]]) / dk)
-    pos = [s for s in slopes if s > 0]
-    best = min(pos) if pos else float("inf")
-    # reliability: adjacent-pair slopes should bracket the min within tol
-    adj = [
-        (walls[ks[i + 1]] - walls[ks[i]]) / (ks[i + 1] - ks[i])
-        for i in range(len(ks) - 1)
-    ]
-    adj_pos = [s for s in adj if s > 0]
-    spread = (max(adj_pos) - min(adj_pos)) / best if adj_pos and best > 0 else float("inf")
-    reliable = len(adj_pos) == len(adj) and spread <= 2 * tol_rel
+    pos = sorted(s for s in slopes if s > 0)
+    if not pos:
+        return Measurement(seconds_per_iter=float("inf"), reliable=False, checksum=v1)
+    # median of pairwise slopes: robust both to the one-sided polling
+    # inflation at large k (which biases a plain fit high) and to random
+    # jitter (which biases a min low — measured producing impossible
+    # sub-floor readings)
+    mid = len(pos) // 2
+    best = pos[mid] if len(pos) % 2 else 0.5 * (pos[mid - 1] + pos[mid])
+    spread = (pos[-1] - pos[0]) / best if best > 0 else float("inf")
+    reliable = len(pos) == len(slopes) and spread <= 4 * tol_rel
     return Measurement(seconds_per_iter=best, reliable=reliable, checksum=v1)
