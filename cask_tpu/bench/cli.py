@@ -56,6 +56,9 @@ def main(argv=None):
     p_ov.add_argument("--side", type=int, default=512)
     p_ov.add_argument("--shards", type=int, default=None)
 
+    p_sv = sub.add_parser("solve")
+    p_sv.add_argument("--side", type=int, default=512)
+
     p_tn = sub.add_parser("tune")
     p_tn.add_argument("--mtx", default=None)
     p_tn.add_argument("--suite", default="small", choices=["small", "medium"])
@@ -91,6 +94,10 @@ def main(argv=None):
             from cask_tpu.bench.harness import bench_overlap
 
             bench_overlap(side=args.side, nshards=args.shards, out=out)
+        elif args.cmd == "solve":
+            from cask_tpu.bench.harness import bench_solve
+
+            bench_solve(side=args.side, out=out)
         elif args.cmd == "tune":
             from cask_tpu.tune import tune
 
