@@ -66,16 +66,24 @@ def main():
     x0 = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(0), (m,), jnp.float32))()
 
     results = {}
+    ATTEMPTS = 3  # device/relay throughput swings ~2x between windows;
+    # keep each variant's best (least-contended) ladder median
 
     def try_variant(name, fn):
         try:
-            meas = fn()
             import numpy as np
 
-            if np.isfinite(meas[0].seconds_per_iter):
-                results[name] = {"s": meas[0].seconds_per_iter,
-                                 "reliable": meas[0].reliable,
-                                 "bytes": meas[1]}
+            best = None
+            for _ in range(ATTEMPTS):
+                meas, bytes_op = fn()
+                if not np.isfinite(meas.seconds_per_iter):
+                    continue
+                if best is None or meas.seconds_per_iter < best["s"]:
+                    best = {"s": meas.seconds_per_iter,
+                            "reliable": meas.reliable,
+                            "bytes": bytes_op}
+            if best is not None:
+                results[name] = best
         except Exception as e:  # noqa: BLE001
             print(f"# variant {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -120,8 +128,8 @@ def main():
     fracs = {k: v["bytes"] / v["s"] / HBM_BW for k, v in results.items()}
     # a fraction > 1 is physically impossible — noise-corrupted timing;
     # prefer reliable+plausible > plausible > anything
-    tier1 = [k for k in fracs if results[k]["reliable"] and fracs[k] <= 1.05]
-    tier2 = [k for k in fracs if fracs[k] <= 1.05]
+    tier1 = [k for k in fracs if results[k]["reliable"] and fracs[k] <= 1.0]
+    tier2 = [k for k in fracs if fracs[k] <= 1.0]
     pool = tier1 or tier2 or list(fracs)
     best = max(pool, key=fracs.get)
     frac = fracs[best]

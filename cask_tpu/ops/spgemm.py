@@ -87,6 +87,11 @@ def spgemm_plan(a: CSR, b: CSR) -> SpGEMMPlan:
     b_counts = np.diff(b_indptr)
     exp_counts = b_counts[a_indices]  # products per A entry
     E = int(exp_counts.sum())
+    if E > np.iinfo(_INT).max:
+        raise OverflowError(
+            f"SpGEMM expansion ({E:.2e} products) exceeds int32 indexing; "
+            "use spgemm(..., backend='native')"
+        )
     src_a = np.repeat(np.arange(a_indices.shape[0], dtype=np.int64), exp_counts)
     # src_b: for slot t within A-entry e, b_indptr[a_indices[e]] + local_offset
     slot_start = np.zeros(a_indices.shape[0] + 1, dtype=np.int64)

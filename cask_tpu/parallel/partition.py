@@ -105,6 +105,13 @@ def partition_coo(a: CSR, nshards: int) -> CooPartition:
     m, n = a.shape
     P = nshards
     mloc = _ceil_div(m, P)
+    if n > P * mloc:
+        # x is partitioned like the rows; a wider matrix would index the
+        # gathered vector out of range
+        raise ValueError(
+            f"partition_coo requires n ({n}) <= nshards*mloc ({P * mloc}); "
+            "pad the matrix columns or partition the transpose"
+        )
     indptr = np.asarray(a.indptr, dtype=np.int64)
     indices = np.asarray(a.indices, dtype=np.int64)
     data = np.asarray(a.data)
