@@ -212,6 +212,20 @@ class DiaOperator:
         return self.dia.spmv(v, method=self.method)
 
 
+def solver_operator(a, *, method: str = "auto"):
+    """Best SpMV operator for iterative solves: the zero-copy Pallas
+    paths when the structure allows, XLA HYB otherwise.
+
+    Returns an object with ``to_padded`` / ``from_padded`` / ``__call__``
+    (identity paddings on the fallback path), so solver code is uniform::
+
+        op = cask_tpu.solver_operator(a)
+        res = cask_tpu.solvers.cg(op, op.to_padded(b))
+        x = op.from_padded(res.x)
+    """
+    return DiaOperator(a, method=method)
+
+
 def _on_tpu() -> bool:
     from cask_tpu.utils.platform import on_tpu
 

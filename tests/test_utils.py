@@ -116,3 +116,31 @@ class TestBenchHarness:
         recs = bench_scaling(side=32, nshards_list=(1, 2), out=buf)
         assert len(recs) == 2
         assert recs[0]["efficiency"] == 1.0
+
+
+class TestProfiling:
+    def test_trace_writes_files(self, tmp_path):
+        import jax.numpy as jnp
+
+        from cask_tpu.utils.profiling import annotate, trace
+
+        d = str(tmp_path / "trace")
+        with trace(d):
+            with annotate("spmv-ish"):
+                (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+        import os
+
+        found = any(files for _, _, files in os.walk(d))
+        assert found
+
+
+class TestSolverOperator:
+    def test_uniform_interface(self):
+        import cask_tpu
+
+        a = cask_tpu.generate.stencil_2d(95)
+        op = cask_tpu.solver_operator(a)
+        b = np.random.default_rng(0).standard_normal(a.shape[0])
+        res = cask_tpu.solvers.cg(op, op.to_padded(b), tol=1e-8, maxiter=600)
+        x = np.asarray(op.from_padded(res.x))
+        np.testing.assert_allclose(to_scipy(a) @ x, b, rtol=1e-5, atol=1e-6)
