@@ -134,4 +134,10 @@ def spmv(a, x, *, transpose: bool = False, method: str = "auto",
 
     if isinstance(a, DiaMatrix):
         return spmv_dia(a, x, transpose=transpose, accum_dtype=accum_dtype)
+    from cask_tpu.ops.pallas.poh_kernels import PohMatrix
+
+    if isinstance(a, PohMatrix):
+        if transpose:
+            raise NotImplementedError("transpose POH SpMV: build a plan on aᵀ")
+        return a.spmv(x)
     raise TypeError(f"unsupported matrix type {type(a)}")

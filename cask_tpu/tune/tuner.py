@@ -13,11 +13,15 @@ Variant space (grows as kernels land):
 - ``bsr_xla:<b>``        — block gather + einsum + segment_sum
 - ``dia_pallas[:spmm]``  — diagonal-window streaming Pallas kernel
 - ``bsr_pallas:<b>``     — Pallas block kernel (SpMM, MXU path)
+- ``poh[:T]``/``poh_fast`` — panel one-hot kernel for unstructured
+  matrices (gather/scatter as MXU one-hot matmuls); ``_fast`` allows
+  single-pass bf16 MXU rounding on f32 data
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import Callable, List, Optional, Tuple
 
@@ -76,6 +80,14 @@ class Variant:
             g = int(self.name.split(":")[1])
             dev = lell_plan_hyb(a, groups=g).device_put()
             return dev, dev.spmv
+        if self.name.split(":")[0] in ("poh", "poh_fast"):
+            from cask_tpu.ops.pallas.poh_kernels import poh_plan
+
+            parts = self.name.split(":")
+            ts = int(parts[1]) if len(parts) > 1 else 2048
+            prec = "fast" if parts[0] == "poh_fast" else "split"
+            dev = poh_plan(a, tile_slots=ts).device_put()
+            return dev, functools.partial(dev.spmv, precision=prec)
         raise ValueError(f"unknown variant {self.name!r}")
 
 
@@ -130,12 +142,18 @@ def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
         # (padded-x materialization) but no Pallas size constraints
         out.append(Variant("dia_xla", est * db + 2.0 * xbytes))
 
-    # NOTE: the LELL lane-bucketed gather kernel is deliberately NOT
-    # enumerated: Mosaic's tpu.dynamic_gather only shuffles within a
-    # single vreg along the gather dimension (measured on v5e — "Multiple
-    # source vregs along gather dimension" is unimplemented), so deep
-    # random gathers cannot lower.  Unstructured matrices ride csr_xla
-    # (+ RCM reordering toward the structured kernels).
+    # Unstructured path: the panel one-hot kernel (gather/scatter as MXU
+    # one-hot matmuls — no hardware gather needed; 11–30x the csr_xla
+    # gather path on v5e, PERF.md).  It is *compute*-bound (~6k MXU MACs
+    # + ~500 VPU ops per slot), so its "traffic" is modeled as
+    # time-equivalent bytes measured on v5e: t/slot · HBM_BW ≈ 440 B in
+    # fast (single-pass bf16) mode, ~650 B in split (near-f32) mode.
+    # (The LELL gather kernel stays un-enumerated: Mosaic's
+    # tpu.dynamic_gather is single-vreg-deep on v5e.)
+    if include_pallas and k is None and db <= 4:
+        out.append(Variant("poh", nnz * 650.0 + xbytes))
+        out.append(Variant("poh:4096", nnz * 620.0 + xbytes))
+        out.append(Variant("poh_fast", nnz * 440.0 + xbytes))
     return out
 
 
