@@ -139,3 +139,87 @@ class TestMultiRHS:
         Z = np.asarray(f.apply(B))
         z0 = np.asarray(f.apply(B[:, 0]))
         np.testing.assert_allclose(Z[:, 0], z0, rtol=1e-12)
+
+
+class TestIlu0Device:
+    """Chow–Patel fine-grained parallel ILU(0) (device path)."""
+
+    def test_converges_to_host_factorization(self):
+        from cask_tpu.ops.ilu import ilu0, ilu0_device_plan
+
+        a = stencil_2d(16)
+        host = ilu0(a, use_native=False)
+        plan = ilu0_device_plan(a)
+        v = plan.factorize(sweeps=25)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(host.lu.data),
+                                   rtol=1e-9, atol=1e-9)
+        assert float(plan.residual(v)) < 1e-9
+
+    def test_apply_matches_host(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.ops.ilu import ilu0, ilu0_device
+
+        a = banded(250, 3, seed=5, spd=True)
+        host = ilu0(a, use_native=False)
+        dev = ilu0_device(a, sweeps=25)
+        b = np.random.default_rng(1).standard_normal(a.shape[0])
+        np.testing.assert_allclose(np.asarray(dev.apply(jnp.asarray(b))),
+                                   np.asarray(host.apply(jnp.asarray(b))),
+                                   rtol=1e-8, atol=1e-8)
+
+    def test_values_rebind_without_replanning(self):
+        from cask_tpu.ops.ilu import ilu0, ilu0_device_plan
+        from cask_tpu.formats.matrix import CSR
+
+        a = stencil_2d(12)
+        plan = ilu0_device_plan(a)
+        a2 = CSR(data=np.asarray(a.data) * 2.0, indices=a.indices,
+                 indptr=a.indptr, shape=a.shape)
+        host2 = ilu0(a2, use_native=False)
+        v2 = plan.factorize(np.asarray(a2.data), sweeps=25)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(host2.lu.data),
+                                   rtol=1e-9, atol=1e-9)
+
+    def test_jittable_factorize(self):
+        import jax
+
+        from cask_tpu.ops.ilu import ilu0_device_plan
+
+        a = stencil_2d(10)
+        plan = ilu0_device_plan(a)
+        v = jax.jit(lambda p: p.factorize(sweeps=15))(plan)
+        assert float(plan.residual(v)) < 1e-6
+
+    def test_preconditions_cg(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.ops.ilu import ilu0_device
+        from cask_tpu.solvers.krylov import cg
+
+        a = stencil_2d(20)
+        b = jnp.asarray(np.random.default_rng(3).standard_normal(a.shape[0]))
+        dev = ilu0_device(a, sweeps=8)
+        plain = cg(a.device_put(), b, tol=1e-8, maxiter=800)
+        pre = cg(a.device_put(), b, tol=1e-8, maxiter=800, M=dev.apply)
+        assert bool(pre.converged)
+        assert int(pre.iterations) < int(plain.iterations)
+
+    def test_residual_flags_divergence(self):
+        from cask_tpu.ops.ilu import ilu0_device_plan
+
+        # random non-dominant values: fixed point diverges -> residual large
+        a = banded(200, 4, seed=7, spd=False)
+        plan = ilu0_device_plan(a)
+        v = plan.factorize(sweeps=15)
+        res = float(plan.residual(v))
+        assert not np.isfinite(res) or res > 1e-2
+
+    def test_missing_diagonal_raises(self):
+        from cask_tpu.formats.convert import coo_from_arrays, coo_to_csr
+        from cask_tpu.ops.ilu import ilu0_device_plan
+
+        a = coo_to_csr(coo_from_arrays(np.ones(2), np.array([0, 1]),
+                                       np.array([1, 0]), (2, 2)))
+        with pytest.raises(ValueError):
+            ilu0_device_plan(a)
