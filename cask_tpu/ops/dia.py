@@ -97,13 +97,19 @@ class DiaMatrix:
 
     def spmm(self, x, *, method: str = "auto"):
         if method in ("auto", "pallas"):
-            from cask_tpu.ops.pallas.dia_kernels import dia_spmm_pallas, pallas_ok
+            from cask_tpu.ops.pallas.dia_kernels import (
+                dia_spmm_pallas, dia_spmm_pallas_kt, kt_ok, pallas_ok)
 
-            if pallas_ok(self, k=int(x.shape[1])) and (
-                method == "pallas" or _on_tpu()
-            ):
-                y = dia_spmm_pallas(self, x)
-                return y + self._remainder_spmm(x) if self.rem_data.shape[0] else y
+            k = int(x.shape[1])
+            if method == "pallas" or _on_tpu():
+                # k in sublanes for narrow dense blocks: no lane padding
+                # (k=32 on the standard layout moves 4x the X/Y bytes)
+                if k <= 64 and kt_ok(self, k):
+                    y = dia_spmm_pallas_kt(self, x)
+                    return y + self._remainder_spmm(x) if self.rem_data.shape[0] else y
+                if pallas_ok(self, k=k):
+                    y = dia_spmm_pallas(self, x)
+                    return y + self._remainder_spmm(x) if self.rem_data.shape[0] else y
         return self._spmm_xla(x)
 
     # XLA formulation: one shifted FMA per diagonal over a padded x.

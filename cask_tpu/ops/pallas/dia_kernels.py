@@ -681,3 +681,130 @@ def dia_spmm_pallas_padded(a: "_dia.DiaMatrix", xp):
             **common,
         )(xp, v_operand)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SpMM, transposed-k layout (k in sublanes) — the k≤64 path
+# ---------------------------------------------------------------------------
+#
+# The standard SpMM kernel lays X out as (rows, kp) with kp lane-padded to
+# 128, so k=32 moves 4x the useful X and Y bytes.  Here the dense axis
+# lives in SUBLANES (k=32 -> exactly 4 vregs, no padding) and matrix rows
+# live in LANES, so diagonal shifts become static lane slices of a
+# double-buffered (kp_s, tl+span) window — the transposed twin of the
+# windowed kernel above.  Y is produced in the same (k, rows) layout;
+# chained/multi-RHS users stay in it and pay the transpose only at the
+# boundary (same discipline as the SpMV solver layout).
+
+_KT_MAX_K = 64
+
+
+def _kt_kp(k: int) -> int:
+    return max(8, -(-k // 8) * 8)
+
+
+def _kt_span_pad(lo: int, hi: int) -> int:
+    """Window overhang: covers every aligned slice base q·128 plus the
+    +128 roll slack, 128-aligned (DMA lane slices must be)."""
+    return (((lo + hi) // _LANE) + 1) * _LANE
+
+
+def _kt_geometry(a: "_dia.DiaMatrix", kp_s: int, db: int):
+    lo = -min(min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    e = _kt_span_pad(lo, hi)
+    for tl in (16384, 8192, 4096, 2048, 1024, 512, 256, 128):
+        if a.m_pad % tl:
+            continue
+        need = (2 * (tl + e) + 3 * tl) * kp_s * db + a.ndiags * tl * db
+        if need <= _SPMM_VMEM_BUDGET:
+            return tl, lo, hi
+    return 128, lo, hi
+
+
+def kt_ok(a: "_dia.DiaMatrix", k: int) -> bool:
+    if not a.offsets or k > _KT_MAX_K or a.ndiags > _MAX_UNROLL_DIAGS:
+        return False
+    lo = -min(min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    return lo + hi < a.m_pad
+
+
+def pad_xt_spmm(a: "_dia.DiaMatrix", x):
+    """Transposed pre-padded X layout: (kp_s, (T-1)·tl + ws), lane-aligned."""
+    n = a.shape[1]
+    k = int(x.shape[1])
+    kp_s = _kt_kp(k)
+    db = jnp.dtype(x.dtype).itemsize
+    tl, lo, hi = _kt_geometry(a, kp_s, db)
+    T = a.m_pad // tl
+    W = (T - 1) * tl + tl + _kt_span_pad(lo, hi)
+    xt = jnp.zeros((kp_s, W), x.dtype)
+    return xt.at[:k, lo : lo + n].set(x.T)
+
+
+def _spmm_kt_kernel(offsets, lo, hi, tl, kp_s, x_hbm, v_ref, o_ref, xw_ref, sems):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    ws = tl + _kt_span_pad(lo, hi)  # 128-aligned window
+
+    def dma(slot, step):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(step * tl, ws)], xw_ref.at[slot], sems.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < T)
+    def _():
+        dma((t + 1) % 2, t + 1).start()
+
+    dma(t % 2, t).wait()
+    cur = t % 2
+    o_ref[...] = jnp.zeros((kp_s, tl), dtype=o_ref.dtype)
+    for d, off in enumerate(offsets):
+        start = off + lo
+        q, r = divmod(start, _LANE)  # aligned slice base + sub-vreg residue
+        sl = xw_ref[cur, :, q * _LANE : q * _LANE + tl + _LANE]
+        if r:  # roll left by r: element j ← j + r (np.roll(x, -r))
+            sl = pltpu.roll(sl, tl + _LANE - r, axis=1)
+        o_ref[...] += v_ref[d : d + 1, :] * sl[:, :tl]
+
+
+def dia_spmm_pallas_kt_padded(a: "_dia.DiaMatrix", xt):
+    """(kp_s, W) transposed X → (kp_s, m_pad) transposed Y."""
+    kp_s = int(xt.shape[0])
+    D = a.ndiags
+    db = jnp.dtype(xt.dtype).itemsize
+    tl, lo, hi = _kt_geometry(a, kp_s, db)
+    T = a.m_pad // tl
+    out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, xt.dtype), jnp.float32) \
+        if jnp.bfloat16 in (a.vals.dtype, xt.dtype) \
+        else jnp.promote_types(a.vals.dtype, xt.dtype)
+    kernel = functools.partial(_spmm_kt_kernel, a.offsets, lo, hi, tl, kp_s)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((D, tl), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kp_s, tl), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp_s, T * tl), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, kp_s, tl + _kt_span_pad(lo, hi)), xt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(xt, a.vals)
+
+
+def dia_spmm_pallas_kt(a: "_dia.DiaMatrix", x):
+    """y = A @ x with k ≤ 64 via the transposed-k kernel."""
+    m = a.shape[0]
+    k = int(x.shape[1])
+    yt = dia_spmm_pallas_kt_padded(a, pad_xt_spmm(a, x))
+    return yt[:k, :m].T

@@ -134,42 +134,49 @@ class TriSolvePlan:
 
         ``b`` may be (n,) or (n, k) — the level sweep is batched over
         the trailing axis at no extra scheduling cost."""
-        data = jnp.asarray(data)
-        b = jnp.asarray(b)
-        n = self.n
-        vec = b.ndim == 1
-        b2 = b[:, None] if vec else b
-        k = b2.shape[1]
-        xe = jnp.zeros((n + 1, k), dtype=b.dtype)
-
-        lvl_rows = jnp.asarray(self.lvl_rows)
-        lvl_diag = jnp.asarray(self.lvl_diag_idx)
-        ent_local = jnp.asarray(self.lvl_ent_local)
-        ent_col = jnp.asarray(self.lvl_ent_col)
-        ent_idx = jnp.asarray(self.lvl_ent_idx)
-        ent_valid = jnp.asarray(self.lvl_ent_valid)
-
-        be = jnp.concatenate([b2, jnp.zeros((1, k), b.dtype)])
-
-        def body(xe, lv):
-            rows, diag_idx, e_local, e_col, e_idx, e_valid = lv
-            vals = jnp.where(e_valid, data[e_idx], 0).astype(b.dtype)
-            contrib = jax.ops.segment_sum(
-                vals[:, None] * xe[e_col], e_local, num_segments=self.max_rows + 1
-            )[: self.max_rows]
-            rhs = be[rows] - contrib
-            if self.unit_diag:
-                xr = rhs
-            else:
-                xr = rhs / jnp.where(rows < n, data[diag_idx], 1).astype(b.dtype)[:, None]
-            xe = xe.at[rows].set(xr, mode="drop")
-            return xe, None
-
-        xe, _ = jax.lax.scan(
-            body, xe, (lvl_rows, lvl_diag, ent_local, ent_col, ent_idx, ent_valid)
+        return tri_solve_arrays(
+            jnp.asarray(data), b,
+            jnp.asarray(self.lvl_rows), jnp.asarray(self.lvl_diag_idx),
+            jnp.asarray(self.lvl_ent_local), jnp.asarray(self.lvl_ent_col),
+            jnp.asarray(self.lvl_ent_idx), jnp.asarray(self.lvl_ent_valid),
+            n=self.n, max_rows=self.max_rows, unit_diag=self.unit_diag,
         )
-        out = xe[:n]
-        return out[:, 0] if vec else out
+
+
+def tri_solve_arrays(data, b, lvl_rows, lvl_diag, ent_local, ent_col,
+                     ent_idx, ent_valid, *, n: int, max_rows: int,
+                     unit_diag: bool):
+    """The level sweep on raw plan arrays (jittable).
+
+    Factored out of :meth:`TriSolvePlan.solve` so stacked per-shard plans
+    (distributed block-ILU, :func:`cask_tpu.solvers.precond.shard_ilu0`)
+    can run the identical program under ``shard_map``."""
+    b = jnp.asarray(b)
+    vec = b.ndim == 1
+    b2 = b[:, None] if vec else b
+    k = b2.shape[1]
+    xe = jnp.zeros((n + 1, k), dtype=b.dtype)
+    be = jnp.concatenate([b2, jnp.zeros((1, k), b.dtype)])
+
+    def body(xe, lv):
+        rows, diag_idx, e_local, e_col, e_idx, e_valid = lv
+        vals = jnp.where(e_valid, data[e_idx], 0).astype(b.dtype)
+        contrib = jax.ops.segment_sum(
+            vals[:, None] * xe[e_col], e_local, num_segments=max_rows + 1
+        )[:max_rows]
+        rhs = be[rows] - contrib
+        if unit_diag:
+            xr = rhs
+        else:
+            xr = rhs / jnp.where(rows < n, data[diag_idx], 1).astype(b.dtype)[:, None]
+        xe = xe.at[rows].set(xr, mode="drop")
+        return xe, None
+
+    xe, _ = jax.lax.scan(
+        body, xe, (lvl_rows, lvl_diag, ent_local, ent_col, ent_idx, ent_valid)
+    )
+    out = xe[:n]
+    return out[:, 0] if vec else out
 
 
 def trisolve_plan(a: CSR, *, lower: bool = True, unit_diag: bool = False) -> TriSolvePlan:

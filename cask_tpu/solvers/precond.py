@@ -80,3 +80,132 @@ def block_jacobi(a: CSR, block: int = 64):
         return out[:, 0] if vec else out
 
     return apply
+
+
+def _stack_tri_plans(plans, datas):
+    """Pad per-shard :class:`TriSolvePlan`s to common shapes and stack.
+
+    Structural-zero discipline carries over: padded levels solve row n
+    (the drop slot), padded entries are invalid, padded data is 1.0.
+    Returns (arrays dict, static dims dict)."""
+    nl = max(p.nlevels for p in plans)
+    mr = max(max(p.max_rows for p in plans), 1)
+    me = max(max(p.max_ents for p in plans), 1)
+    n = plans[0].n
+    nd = max(max(d.shape[0] for d in datas), 1)
+    P = len(plans)
+
+    rows = np.full((P, nl, mr), n, dtype=np.int32)
+    diag = np.zeros((P, nl, mr), dtype=np.int32)
+    entl = np.full((P, nl, me), mr, dtype=np.int32)
+    entc = np.full((P, nl, me), n, dtype=np.int32)
+    enti = np.zeros((P, nl, me), dtype=np.int32)
+    entv = np.zeros((P, nl, me), dtype=bool)
+    data = np.ones((P, nd), dtype=np.asarray(datas[0]).dtype)
+    for s, (p, d) in enumerate(zip(plans, datas)):
+        if p.nlevels == 0:
+            continue
+        rows[s, : p.nlevels, : p.max_rows] = p.lvl_rows
+        diag[s, : p.nlevels, : p.max_rows] = p.lvl_diag_idx
+        # remap the plan's own pad sentinel (its max_rows) to the common one
+        entl[s, : p.nlevels, : p.max_ents] = np.where(
+            p.lvl_ent_valid, p.lvl_ent_local, mr)
+        entc[s, : p.nlevels, : p.max_ents] = np.where(
+            p.lvl_ent_valid, p.lvl_ent_col, n)
+        enti[s, : p.nlevels, : p.max_ents] = p.lvl_ent_idx
+        entv[s, : p.nlevels, : p.max_ents] = p.lvl_ent_valid
+        data[s, : d.shape[0]] = d
+    arrays = dict(rows=rows, diag=diag, entl=entl, entc=entc, enti=enti,
+                  entv=entv, data=data)
+    return arrays, dict(n=n, max_rows=mr, unit_diag=plans[0].unit_diag)
+
+
+def shard_ilu0(a: CSR, dist):
+    """Additive-Schwarz block ILU(0): each shard factors its own diagonal
+    block ``A_ss`` and applies ``U_s⁻¹ L_s⁻¹`` locally — zero
+    communication, one SPMD program for all shards (plans padded to
+    common shapes and stacked over the mesh axis).
+
+    ``dist`` is a :class:`cask_tpu.parallel.DistSpmv`; the returned
+    callable preconditions its *padded* vectors (use with
+    ``cg(dist.padded_op, bp, M=shard_ilu0(a, dist))``).  Needs A's
+    diagonal present in every local block (true whenever A has a full
+    diagonal).  cask analog: SURVEY.md §2 T7 — the distributed twin of
+    the ILU solver path.
+    """
+    import scipy.sparse as sp
+
+    import jax
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cask_tpu.formats.convert import from_scipy, to_scipy
+    from cask_tpu.ops.ilu import ilu0
+    from cask_tpu.ops.trisolve import tri_solve_arrays
+    from cask_tpu.parallel.dist import AXIS
+
+    plan = dist.plan
+    mesh = dist.mesh
+    nshards, mloc = plan.nshards, plan.mloc
+    m = a.shape[0]
+    spa = to_scipy(a).tocsr()
+
+    lows, ups, ldat, udat = [], [], [], []
+    for s in range(nshards):
+        r0, r1 = s * mloc, min((s + 1) * mloc, m)
+        if r1 > r0:
+            blk = spa[r0:r1, r0:r1].tocsr()
+        else:
+            blk = sp.csr_matrix((0, 0))
+        pad = mloc - blk.shape[0]
+        if pad:
+            blk = sp.block_diag([blk, sp.identity(pad, format="csr")],
+                                format="csr")
+        blk.sort_indices()
+        f = ilu0(from_scipy(blk, format="csr"))
+        lows.append(f._lower_plan)
+        ups.append(f._upper_plan)
+        ldat.append(f._lower_data)
+        udat.append(f._upper_data)
+
+    larr, lstat = _stack_tri_plans(lows, ldat)
+    uarr, ustat = _stack_tri_plans(ups, udat)
+
+    def put(d):
+        return {k: jax.device_put(jnp.asarray(v),
+                                  NamedSharding(mesh, P(AXIS, *([None] * (v.ndim - 1)))))
+                for k, v in d.items()}
+
+    larr_d, uarr_d = put(larr), put(uarr)
+
+    def local(la, ua, r):
+        def solve(ar, st, b):
+            return tri_solve_arrays(
+                ar["data"][0], b, ar["rows"][0], ar["diag"][0],
+                ar["entl"][0], ar["entc"][0], ar["enti"][0], ar["entv"][0],
+                **st)
+
+        y = solve(la, lstat, r)
+        return solve(ua, ustat, y)
+
+    vec_spec = P(AXIS)
+    arr_specs = jax.tree.map(lambda _: P(AXIS), larr)
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(arr_specs, arr_specs, vec_spec),
+        out_specs=vec_spec,
+        check_vma=False,  # scan carry starts unvarying (as in DistSpmv)
+    ))
+    fn_mm = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(arr_specs, arr_specs, P(AXIS, None)),
+        out_specs=P(AXIS, None),
+        check_vma=False,
+    ))
+
+    def apply(r):
+        if r.ndim == 1:
+            return fn(larr_d, uarr_d, r)
+        return fn_mm(larr_d, uarr_d, r)
+
+    return apply

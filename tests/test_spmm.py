@@ -77,3 +77,56 @@ class TestSpmmDia:
         assert pallas_ok(d, k=k)
         y = dia_spmm_pallas(d, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-10)
+
+
+class TestSpmmDiaKt:
+    """Transposed-k SpMM: k in sublanes, rows in lanes (k ≤ 64 path)."""
+
+    @pytest.mark.parametrize("k", [8, 20, 32, 64])
+    def test_vs_scipy(self, k):
+        a = banded(9000, 2, seed=5)
+        x = _X(a, k)
+        d = dia_plan(a)
+        from cask_tpu.ops.pallas.dia_kernels import dia_spmm_pallas_kt, kt_ok
+
+        assert kt_ok(d, k)
+        y = dia_spmm_pallas_kt(d, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-10)
+
+    def test_dispatch_uses_kt_for_narrow_k(self):
+        a = stencil_2d(25)
+        x = _X(a, 16)
+        d = dia_plan(a)
+        y = d.spmm(jnp.asarray(x), method="pallas")
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-12, atol=1e-10)
+
+    def test_padded_layout_roundtrip(self):
+        from cask_tpu.ops.pallas.dia_kernels import (
+            dia_spmm_pallas_kt_padded, pad_xt_spmm)
+
+        a = banded(3000, 4, seed=6)
+        d = dia_plan(a)
+        x = _X(a, 32)
+        xt = pad_xt_spmm(d, jnp.asarray(x))
+        yt = dia_spmm_pallas_kt_padded(d, xt)
+        np.testing.assert_allclose(np.asarray(yt[:32, : a.shape[0]].T),
+                                   to_scipy(a) @ x, rtol=1e-12, atol=1e-10)
+
+    def test_asymmetric_offsets(self):
+        # strictly upper-shifted band (lo=0) and lower-shifted band (hi=0)
+        import scipy.sparse as sp
+
+        from cask_tpu.formats.convert import from_scipy
+
+        n = 2000
+        rng = np.random.default_rng(7)
+        for offs in ([1, 3, 7], [-5, -2, 0]):
+            s = sp.diags([rng.standard_normal(n - abs(o)) for o in offs],
+                         offs, shape=(n, n)).tocsr()
+            a = from_scipy(s, format="csr")
+            d = dia_plan(a)
+            x = rng.standard_normal((n, 24))
+            from cask_tpu.ops.pallas.dia_kernels import dia_spmm_pallas_kt
+
+            y = dia_spmm_pallas_kt(d, jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(y), s @ x, rtol=1e-12, atol=1e-10)
