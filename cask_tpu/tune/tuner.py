@@ -88,6 +88,21 @@ class Variant:
             prec = "fast" if parts[0] == "poh_fast" else "split"
             dev = poh_plan(a, tile_slots=ts).device_put()
             return dev, functools.partial(dev.spmv, precision=prec)
+        if self.name.startswith("rcm:"):
+            # reorder to a band, run the structured variant, permute at
+            # the vector boundary (solver loops should instead reorder
+            # once with formats.reorder.reorder_rcm and stay reordered)
+            import jax.numpy as jnp
+
+            from cask_tpu.formats.reorder import reorder_rcm
+
+            a_r, perm = reorder_rcm(a)
+            dev, fn = Variant(self.name[4:], 0.0).build(a_r, k)
+            pd = jnp.asarray(perm)
+            ipd = jnp.asarray(np.argsort(perm).astype(np.int32))
+            if k is None:
+                return dev, lambda x: fn(x[pd])[ipd]
+            return dev, lambda x: fn(x[pd, :])[ipd, :]
         raise ValueError(f"unknown variant {self.name!r}")
 
 
@@ -154,6 +169,26 @@ def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
         out.append(Variant("poh", nnz * 650.0 + xbytes))
         out.append(Variant("poh:4096", nnz * 620.0 + xbytes))
         out.append(Variant("poh_fast", nnz * 440.0 + xbytes))
+
+    # RCM reordering toward the banded kernels (cask's DSE explored
+    # architecture params; reordering is the analogous *data-layout*
+    # dimension).  Only probed when the natural ordering has no usable
+    # diagonal split and the matrix is square.
+    if est is None and m == n and nnz:
+        from cask_tpu.formats.reorder import reorder_rcm
+
+        try:
+            a_r, _ = reorder_rcm(a)
+            est_r = estimate_dia_traffic(a_r)
+        except Exception:
+            est_r = None
+        if est_r is not None:
+            permute = 8.0 * m * db * kk  # boundary vector gathers
+            if include_pallas:
+                out.append(Variant("rcm:dia_pallas",
+                                   est_r * db + 1.5 * xbytes + permute))
+            out.append(Variant("rcm:dia_xla",
+                               est_r * db + 2.0 * xbytes + permute))
     return out
 
 

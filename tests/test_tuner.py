@@ -111,3 +111,64 @@ class TestLellVariant:
         np.testing.assert_allclose(
             np.asarray(fn(jnp.asarray(x))), to_scipy(a) @ x, rtol=1e-10, atol=1e-10
         )
+
+
+class TestReorderVariants:
+    """RCM-reordered variants: the data-layout dimension of the DSE."""
+
+    def _shuffled_banded(self, n=1500, bw=4, seed=2):
+        import numpy as np
+
+        from cask_tpu.formats.convert import from_scipy, to_scipy
+        from cask_tpu.formats.generate import banded
+
+        a0 = banded(n, bw, seed=seed)
+        p = np.random.default_rng(0).permutation(n)
+        s = to_scipy(a0).tocsr()[p][:, p].tocsr()
+        return from_scipy(s, format="csr"), s
+
+    def test_enumerated_when_band_recoverable(self):
+        from cask_tpu.formats.signature import signature
+        from cask_tpu.tune.tuner import enumerate_variants
+
+        a, _ = self._shuffled_banded()
+        names = {v.name for v in
+                 enumerate_variants(a, signature(a), None, include_pallas=True)}
+        assert "rcm:dia_pallas" in names and "rcm:dia_xla" in names
+
+    def test_wrapped_fn_matches_scipy(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cask_tpu.tune.tuner import Variant
+
+        a, s = self._shuffled_banded()
+        x = np.random.default_rng(1).standard_normal(a.shape[0])
+        for name in ("rcm:dia_xla", "rcm:dia_pallas"):
+            _, fn = Variant(name, 0.0).build(a, None)
+            np.testing.assert_allclose(np.asarray(fn(jnp.asarray(x))), s @ x,
+                                       rtol=1e-12, atol=1e-12)
+
+    def test_spmm_wrapped(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cask_tpu.tune.tuner import Variant
+
+        a, s = self._shuffled_banded()
+        X = np.random.default_rng(3).standard_normal((a.shape[0], 8))
+        _, fn = Variant("rcm:dia_xla", 0.0).build(a, 8)
+        np.testing.assert_allclose(np.asarray(fn(jnp.asarray(X))), s @ X,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_not_enumerated_for_native_banded(self):
+        # a matrix already banded gets the direct dia variants, not rcm:
+        from cask_tpu.formats.generate import banded
+        from cask_tpu.formats.signature import signature
+        from cask_tpu.tune.tuner import enumerate_variants
+
+        a = banded(1000, 3, seed=1)
+        names = {v.name for v in
+                 enumerate_variants(a, signature(a), None, include_pallas=True)}
+        assert "dia_pallas" in names
+        assert not any(n.startswith("rcm:") for n in names)
