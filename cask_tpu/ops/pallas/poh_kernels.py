@@ -123,6 +123,9 @@ class PohMatrix:
     def spmv(self, x, *, precision: str = "split"):
         return poh_spmv_pallas(self, x, precision=precision)
 
+    def spmm(self, x, *, precision: str = "split"):
+        return poh_spmm_pallas(self, x, precision=precision)
+
 
 def poh_plan(a: CSR, *, row_panel: int = 4096, col_window: int = 1024,
              tile_slots: int = 2048) -> PohMatrix:
@@ -276,15 +279,27 @@ def _poh_kernel(S, C, nhy, cdt, pdt, mode,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    xlo = xlo_ref[...].astype(pdt)  # (C/128, 128)
-    xhi = xhi_ref[...].astype(pdt)
+    # one (2C/128, 128) window: a single gather dot + a single pick per s
+    xw = jnp.concatenate([xlo_ref[...], xhi_ref[...]], axis=0).astype(pdt)
+    if mode == "split":  # loop-invariant hi/lo split of the x window
+        xw_h, xw_l = _split_bf16(xw)
+
+        def gather_dot(olt):
+            return (lax.dot_general(xw_h, olt, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=pdt)
+                    + lax.dot_general(xw_l, olt, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=pdt))
+    else:
+        def gather_dot(olt):
+            return lax.dot_general(xw.astype(cdt), olt, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=pdt, precision=prec)
     V = v_ref[0]
     CLOC = cloc_ref[0]
     RLOC = rloc_ref[0]
     RLOT = rlot_ref[0]  # (128, S)
 
     iota_ll = lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
-    iota_hx = lax.broadcasted_iota(jnp.int32, (nhx, _LANE), 0)
+    iota_hx = lax.broadcasted_iota(jnp.int32, (2 * nhx, _LANE), 0)
     iota_hy = lax.broadcasted_iota(jnp.int32, (nhy, _LANE), 0)
     iota_tl = lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
 
@@ -292,12 +307,10 @@ def _poh_kernel(S, C, nhy, cdt, pdt, mode,
     for s in range(S):
         clo = jnp.broadcast_to(CLOC[s : s + 1] & (_LANE - 1), (_LANE, _LANE))
         olt = (iota_ll == clo).astype(odt)  # OLT[l, t]
-        # gather all 128 slots from the 2C window via two NN matmuls
-        g_lo = nn_dot(xlo, olt)
-        g_hi = nn_dot(xhi, olt)
-        chi = jnp.broadcast_to(CLOC[s : s + 1] >> 7, (nhx, _LANE))
-        pick = jnp.where(iota_hx == chi, g_lo, 0.0)
-        pick = pick + jnp.where(iota_hx == (chi - nhx), g_hi, 0.0)
+        # gather all 128 slots from the 2C window in one NN matmul
+        g = gather_dot(olt)  # (2C/128, 128)
+        chi = jnp.broadcast_to(CLOC[s : s + 1] >> 7, (2 * nhx, _LANE))
+        pick = jnp.where(iota_hx == chi, g, 0.0)
         gathered = jnp.sum(pick, axis=0, keepdims=True)  # (1, 128)
         prod = V[s : s + 1].astype(pdt) * gathered
 
@@ -383,3 +396,155 @@ def poh_spmv_pallas(a: PohMatrix, x, *, precision: str = "split"):
     )(a.wlo, a.whi, a.panel, a.first, a.last,
       x2, x2, a.vals, a.cloc, a.rloc, a.rloc_t)
     return out.reshape(-1)[:m]
+
+
+# ---------------------------------------------------------------------------
+# SpMM on the same pack: one-hots amortize over the k dense columns
+# ---------------------------------------------------------------------------
+
+
+def _poh_spmm_kernel(S, C, nhy, k, cdt, pdt, mode,
+                     wlo_ref, whi_ref, rp_ref, first_ref, last_ref,
+                     xlo_ref, xhi_ref, v_ref, cloc_ref, rloc_ref, rlot_ref,
+                     o_ref, acc_ref):
+    t = pl.program_id(0)
+    nhx = C // _LANE
+    odt = jnp.bfloat16 if mode == "split" else cdt
+    prec = lax.Precision.HIGHEST if mode == "highest" else None
+
+    def nn_dot(lhs, rhs):
+        if mode == "split":
+            h, l = _split_bf16(lhs)
+            return (lax.dot_general(h, rhs, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=pdt)
+                    + lax.dot_general(l, rhs, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=pdt))
+        return lax.dot_general(lhs.astype(cdt), rhs, (((1,), (0,)), ((), ())),
+                               preferred_element_type=pdt, precision=prec)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # (k, 2C/128, 128) window, flattened to one (k·2nhx, 128) dot operand
+    xw = jnp.concatenate([xlo_ref[...], xhi_ref[...]], axis=1).astype(pdt)
+    xw2 = xw.reshape(k * 2 * nhx, _LANE)
+    if mode == "split":
+        xw_h, xw_l = _split_bf16(xw2)
+
+        def gather_dot(olt):
+            return (lax.dot_general(xw_h, olt, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=pdt)
+                    + lax.dot_general(xw_l, olt, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=pdt))
+    else:
+        def gather_dot(olt):
+            return lax.dot_general(xw2.astype(cdt), olt, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=pdt, precision=prec)
+
+    V = v_ref[0]
+    CLOC = cloc_ref[0]
+    RLOC = rloc_ref[0]
+    RLOT = rlot_ref[0]
+
+    iota_ll = lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    iota_hx3 = lax.broadcasted_iota(jnp.int32, (k, 2 * nhx, _LANE), 1)
+    iota_hy3 = lax.broadcasted_iota(jnp.int32, (k, nhy, _LANE), 1)
+    iota_tl = lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+
+    local = jnp.zeros((k * nhy, _LANE), pdt)
+    for s in range(S):
+        clo = jnp.broadcast_to(CLOC[s : s + 1] & (_LANE - 1), (_LANE, _LANE))
+        olt = (iota_ll == clo).astype(odt)
+        g = gather_dot(olt).reshape(k, 2 * nhx, _LANE)
+        chi = jnp.broadcast_to(CLOC[s : s + 1] >> 7, (k, 2 * nhx, _LANE))
+        gathered = jnp.sum(jnp.where(iota_hx3 == chi, g, 0.0), axis=1)  # (k,128)
+        prod = V[s : s + 1].astype(pdt) * gathered
+
+        rhi = jnp.broadcast_to(RLOC[s : s + 1] >> 7, (k, nhy, _LANE))
+        ph = jnp.where(iota_hy3 == rhi, prod[:, None, :],
+                       jnp.zeros((), pdt)).reshape(k * nhy, _LANE)
+        rlo_t = jnp.broadcast_to(RLOT[:, s : s + 1] & (_LANE - 1),
+                                 (_LANE, _LANE))
+        orlo = (rlo_t == iota_tl).astype(odt)
+        local = local + nn_dot(ph, orlo)
+
+    acc_ref[...] += local
+
+    @pl.when(last_ref[t] == 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+_POH_SPMM_MAX_K = 64
+
+
+def poh_spmm_pallas(a: PohMatrix, x, *, precision: str = "split"):
+    """``Y = A @ X`` on the panel one-hot pack, k ≤ 64 dense columns.
+
+    Same gather/scatter-as-matmul trick as :func:`poh_spmv_pallas`; the
+    one-hot builds amortize over all k columns and the dots gain a k×
+    taller M dimension, so per-(nnz·k) cost drops well below the SpMV
+    kernel's.  X is windowed as (k, 2C) tiles via the same
+    scalar-prefetched indices.
+    """
+    if precision not in ("split", "fast", "highest"):
+        raise ValueError(f"unknown precision {precision!r}")
+    m, n = a.shape
+    k = int(x.shape[1])
+    if k > _POH_SPMM_MAX_K:
+        raise ValueError(f"poh spmm supports k ≤ {_POH_SPMM_MAX_K}, got {k}")
+    R, C = a.row_panel, a.col_window
+    S = a.slot_rows
+    nhy = R // _LANE
+    nseg = a.nseg
+    ntiles = a.ntiles
+    cdt = jnp.promote_types(a.vals.dtype, x.dtype)
+    if jnp.dtype(cdt) == jnp.dtype(jnp.float64):
+        cdt = jnp.dtype(jnp.float64) if _interpret() else jnp.dtype(jnp.float32)
+    out_dt = jnp.promote_types(cdt, jnp.float32)
+    if jnp.dtype(cdt) in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)):
+        mode = "fast"
+    elif jnp.dtype(cdt) == jnp.dtype(jnp.float64):
+        mode = "highest"
+    else:
+        mode = precision
+
+    # X → (k, nseg·C/128, 128): xk[c, h, l] = X[h·128 + l, c]
+    xp = jnp.zeros((nseg * C, k), x.dtype).at[:n].set(x)
+    xk = xp.reshape(nseg * (C // _LANE), _LANE, k).transpose(2, 0, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((k, C // _LANE, _LANE),
+                         lambda t, wlo, whi, rp, fi, la: (0, wlo[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, C // _LANE, _LANE),
+                         lambda t, wlo, whi, rp, fi, la: (0, whi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, _LANE),
+                         lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, _LANE),
+                         lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, _LANE),
+                         lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANE, S),
+                         lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k * nhy, _LANE),
+                               lambda t, wlo, whi, rp, fi, la: (rp[t], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((k * nhy, _LANE), out_dt)],
+    )
+    kernel = functools.partial(_poh_spmm_kernel, S, C, nhy, k, cdt, out_dt, mode)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((a.n_panels * k * nhy, _LANE), out_dt),
+        interpret=_interpret(),
+    )(a.wlo, a.whi, a.panel, a.first, a.last,
+      xk, xk, a.vals, a.cloc, a.rloc, a.rloc_t)
+    y = out.reshape(a.n_panels, k, nhy * _LANE).transpose(0, 2, 1)
+    return y.reshape(-1, k)[:m]

@@ -96,4 +96,10 @@ def spmm(a, x, *, transpose: bool = False, method: str = "auto",
 
     if isinstance(a, DiaMatrix):
         return spmm_dia(a, x, transpose=transpose, accum_dtype=accum_dtype)
+    from cask_tpu.ops.pallas.poh_kernels import PohMatrix
+
+    if isinstance(a, PohMatrix):
+        if transpose:
+            raise NotImplementedError("transpose POH SpMM: build a plan on aᵀ")
+        return a.spmm(x)
     raise TypeError(f"unsupported matrix type {type(a)}")

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cask_tpu.parallel.partition import CooPartition, DiaPartition
+from cask_tpu.parallel.partition import CooPartition, DiaPartition, PohPartition
 
 AXIS = "shards"
 
@@ -70,6 +70,39 @@ def _coo_local_mm(plan: CooPartition, x_loc, axis: str):
     y = jax.ops.segment_sum(int_data[:, None] * x_loc[int_col], int_row, num_segments=plan.mloc)
     y = y + jax.ops.segment_sum(ext_data[:, None] * xg[ext_col], ext_row, num_segments=plan.mloc)
     return y
+
+
+def _poh_from_arrays(plan, pfx, n, x_dim):
+    """Reconstruct this shard's PohMatrix from the stacked (squeezed) arrays."""
+    from cask_tpu.ops.pallas.poh_kernels import PohMatrix
+
+    g = lambda f: _sq(getattr(plan, f"{pfx}_{f}"))
+    return PohMatrix(
+        vals=g("vals"), cloc=g("cloc"), rloc=g("rloc"), rloc_t=g("rloc_t"),
+        wlo=g("wlo"), whi=g("whi"), panel=g("panel"),
+        first=g("first"), last=g("last"),
+        shape=(plan.mloc, n), row_panel=plan.row_panel,
+        col_window=plan.col_window,
+    )
+
+
+def _poh_local(plan, x_loc, axis: str, precision: str = "split"):
+    """Interior POH kernel runs collective-free; exterior consumes the
+    all-gathered x — same overlap structure as the COO/DIA paths, but
+    both halves on the one-hot MXU kernel."""
+    xg = jax.lax.all_gather(x_loc, axis, tiled=True)  # (P*mloc,)
+    int_m = _poh_from_arrays(plan, "int", plan.mloc, 1)
+    ext_m = _poh_from_arrays(plan, "ext", plan.nshards * plan.mloc, 1)
+    y = int_m.spmv(x_loc, precision=precision)
+    return y + ext_m.spmv(xg, precision=precision)
+
+
+def _poh_local_mm(plan, x_loc, axis: str, precision: str = "split"):
+    xg = jax.lax.all_gather(x_loc, axis, tiled=True)  # (P*mloc, k)
+    int_m = _poh_from_arrays(plan, "int", plan.mloc, 2)
+    ext_m = _poh_from_arrays(plan, "ext", plan.nshards * plan.mloc, 2)
+    y = int_m.spmm(x_loc, precision=precision)
+    return y + ext_m.spmm(xg, precision=precision)
 
 
 def _ring_halo(x_loc, lo: int, hi: int, axis: str, nshards: int):
@@ -207,6 +240,9 @@ class DistSpmv:
                 )
             local = partial(_dia_local, interior=interior, overlap=overlap)
             local_mm = _dia_local_mm
+        elif isinstance(plan, PohPartition):
+            local = _poh_local
+            local_mm = _poh_local_mm
         else:
             local = _coo_local
             local_mm = _coo_local_mm

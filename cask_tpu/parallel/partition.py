@@ -207,3 +207,122 @@ def partition_dia(a: CSR, nshards: int, *, min_density: float = 0.10,
         nshards=P,
         mloc=mloc,
     )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PohPartition:
+    """Row-partitioned panel one-hot packs (unstructured matrices).
+
+    Per shard, two :class:`~cask_tpu.ops.pallas.poh_kernels.PohMatrix`
+    packs stacked over the leading mesh axis: *interior* (columns local
+    to the shard — computable before any collective lands) and
+    *exterior* (columns indexed into the all-gathered padded-global x).
+    Shards with fewer tiles are padded with zero tiles assigned to the
+    last row panel (structural-zero discipline: they accumulate 0).
+    """
+
+    int_vals: jax.Array  # (P, T_i, S, 128)
+    int_cloc: jax.Array
+    int_rloc: jax.Array
+    int_rloc_t: jax.Array  # (P, T_i, 128, S)
+    int_wlo: jax.Array  # (P, T_i)
+    int_whi: jax.Array
+    int_panel: jax.Array
+    int_first: jax.Array
+    int_last: jax.Array
+    ext_vals: jax.Array  # (P, T_e, S, 128)
+    ext_cloc: jax.Array
+    ext_rloc: jax.Array
+    ext_rloc_t: jax.Array
+    ext_wlo: jax.Array
+    ext_whi: jax.Array
+    ext_panel: jax.Array
+    ext_first: jax.Array
+    ext_last: jax.Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nshards: int = dataclasses.field(metadata=dict(static=True))
+    mloc: int = dataclasses.field(metadata=dict(static=True))
+    row_panel: int = dataclasses.field(metadata=dict(static=True))
+    col_window: int = dataclasses.field(metadata=dict(static=True))
+
+    def device_put(self, device=None) -> "PohPartition":
+        return jax.tree.map(lambda x: jax.device_put(x, device), self)
+
+
+def _stack_poh(plans):
+    """Stack same-geometry PohMatrix packs, padding tile counts."""
+    import numpy as _np
+
+    ntmax = max(p.ntiles for p in plans)
+    npanels = plans[0].n_panels
+
+    def pad(get, fill, dtype=None):
+        outs = []
+        for p in plans:
+            a = _np.asarray(get(p))
+            w = ntmax - a.shape[0]
+            if w:
+                padding = _np.full((w,) + a.shape[1:], fill,
+                                   dtype=dtype or a.dtype)
+                a = _np.concatenate([a, padding])
+            outs.append(a)
+        return jax.numpy.asarray(_np.stack(outs))
+
+    return dict(
+        vals=pad(lambda p: p.vals, 0),
+        cloc=pad(lambda p: p.cloc, 0),
+        rloc=pad(lambda p: p.rloc, 0),
+        rloc_t=pad(lambda p: p.rloc_t, 0),
+        wlo=pad(lambda p: p.wlo, 0),
+        whi=pad(lambda p: p.whi, 0),
+        panel=pad(lambda p: p.panel, npanels - 1),
+        first=pad(lambda p: p.first, 0),
+        last=pad(lambda p: p.last, 0),
+    )
+
+
+def partition_poh(a: CSR, nshards: int, *, row_panel: int = 4096,
+                  col_window: int = 1024,
+                  tile_slots: int = 4096) -> PohPartition:
+    """Row-partition an unstructured CSR into per-shard POH packs."""
+    from cask_tpu.formats.convert import coo_from_arrays, coo_to_csr
+    from cask_tpu.ops.pallas.poh_kernels import poh_plan
+
+    m, n = a.shape
+    P = nshards
+    mloc = _ceil_div(m, P)
+    if n > P * mloc:
+        raise ValueError(
+            f"partition_poh requires n ({n}) <= nshards*mloc ({P * mloc})")
+    indptr = np.asarray(a.indptr, dtype=np.int64)
+    indices = np.asarray(a.indices, dtype=np.int64)
+    data = np.asarray(a.data)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+    owner_row = rows // mloc
+    interior = (indices // mloc) == owner_row
+
+    ints, exts = [], []
+    for p in range(P):
+        mine = owner_row == p
+        mi = mine & interior
+        me = mine & ~interior
+        int_csr = coo_to_csr(coo_from_arrays(
+            data[mi], rows[mi] - p * mloc, indices[mi] - p * mloc,
+            (mloc, mloc)), sum_duplicates=False)
+        ext_csr = coo_to_csr(coo_from_arrays(
+            data[me], rows[me] - p * mloc, indices[me],
+            (mloc, P * mloc)), sum_duplicates=False)
+        kw = dict(row_panel=row_panel, col_window=col_window,
+                  tile_slots=tile_slots)
+        ints.append(poh_plan(int_csr, **kw))
+        exts.append(poh_plan(ext_csr, **kw))
+
+    si = _stack_poh(ints)
+    se = _stack_poh(exts)
+    return PohPartition(
+        **{f"int_{k}": v for k, v in si.items()},
+        **{f"ext_{k}": v for k, v in se.items()},
+        shape=(m, n), nshards=P, mloc=mloc,
+        row_panel=ints[0].row_panel, col_window=ints[0].col_window,
+    )

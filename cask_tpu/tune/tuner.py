@@ -80,13 +80,15 @@ class Variant:
             g = int(self.name.split(":")[1])
             dev = lell_plan_hyb(a, groups=g).device_put()
             return dev, dev.spmv
-        if self.name.split(":")[0] in ("poh", "poh_fast"):
+        if self.name.split(":")[0] in ("poh", "poh_fast", "poh_mm", "poh_mm_fast"):
             from cask_tpu.ops.pallas.poh_kernels import poh_plan
 
             parts = self.name.split(":")
             ts = int(parts[1]) if len(parts) > 1 else 2048
-            prec = "fast" if parts[0] == "poh_fast" else "split"
+            prec = "fast" if parts[0].endswith("_fast") else "split"
             dev = poh_plan(a, tile_slots=ts).device_put()
+            if parts[0].startswith("poh_mm"):
+                return dev, functools.partial(dev.spmm, precision=prec)
             return dev, functools.partial(dev.spmv, precision=prec)
         if self.name.startswith("rcm:"):
             # reorder to a band, run the structured variant, permute at
@@ -166,9 +168,14 @@ def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
     # (The LELL gather kernel stays un-enumerated: Mosaic's
     # tpu.dynamic_gather is single-vreg-deep on v5e.)
     if include_pallas and k is None and db <= 4:
-        out.append(Variant("poh", nnz * 650.0 + xbytes))
-        out.append(Variant("poh:4096", nnz * 620.0 + xbytes))
-        out.append(Variant("poh_fast", nnz * 440.0 + xbytes))
+        out.append(Variant("poh", nnz * 280.0 + xbytes))
+        out.append(Variant("poh:8192", nnz * 225.0 + xbytes))
+        out.append(Variant("poh_fast:8192", nnz * 220.0 + xbytes))
+    if include_pallas and k is not None and k <= 64 and db <= 4:
+        # SpMM twin: one-hots amortize over k columns (measured ~130/80
+        # equiv-B per nnz·k split/fast — 80x the XLA gather SpMM)
+        out.append(Variant("poh_mm", nnz * 130.0 * kk + xbytes))
+        out.append(Variant("poh_mm_fast", nnz * 80.0 * kk + xbytes))
 
     # RCM reordering toward the banded kernels (cask's DSE explored
     # architecture params; reordering is the analogous *data-layout*

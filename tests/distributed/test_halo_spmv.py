@@ -224,3 +224,67 @@ class TestShardIlu:
         out = np.asarray(M(op.padded(jnp.asarray(R))))
         one = np.asarray(M(op.padded(jnp.asarray(R[:, 0]))))
         np.testing.assert_allclose(out[: len(one), 0], one, rtol=1e-12, atol=1e-12)
+
+
+class TestPohPartition:
+    """Distributed unstructured SpMV/SpMM on the panel one-hot kernel."""
+
+    def _setup(self, nshards=8):
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.formats.generate import power_law
+        from cask_tpu.parallel import DistSpmv, partition_poh
+
+        a = power_law(4000, avg_degree=10, seed=1)
+        op = DistSpmv(partition_poh(a, nshards))
+        return a, op, to_scipy(a), jnp
+
+    def test_spmv_matches_scipy(self):
+        a, op, s, jnp = self._setup()
+        x = np.random.default_rng(0).standard_normal(a.shape[1])
+        y = np.asarray(op(jnp.asarray(x)))
+        np.testing.assert_allclose(y, s @ x, rtol=1e-12, atol=1e-12)
+
+    def test_spmm_matches_scipy(self):
+        a, op, s, jnp = self._setup()
+        X = np.random.default_rng(1).standard_normal((a.shape[1], 8))
+        Y = np.asarray(op(jnp.asarray(X)))
+        np.testing.assert_allclose(Y, s @ X, rtol=1e-12, atol=1e-12)
+
+    def test_uneven_shards(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.formats.generate import random_uniform
+        from cask_tpu.parallel import DistSpmv, partition_poh
+
+        a = random_uniform(3001, 3001, density=0.003, seed=2)  # ragged mloc
+        op = DistSpmv(partition_poh(a, 4))
+        x = np.random.default_rng(3).standard_normal(a.shape[1])
+        y = np.asarray(op(jnp.asarray(x)))
+        np.testing.assert_allclose(y, to_scipy(a) @ x, rtol=1e-12, atol=1e-12)
+
+    def test_distributed_cg_on_poh(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import from_scipy
+        from cask_tpu.formats.generate import power_law, random_uniform
+        from cask_tpu.parallel import DistSpmv, partition_poh
+        from cask_tpu.solvers import cg
+
+        # SPD unstructured: A = B^T B + shift (pattern stays unstructured)
+        import scipy.sparse as sp
+
+        from cask_tpu.formats.convert import to_scipy
+
+        s = to_scipy(random_uniform(1200, 1200, density=0.004, seed=4))
+        spd = (s.T @ s + 2.0 * sp.identity(1200)).tocsr()
+        a = from_scipy(spd, format="csr")
+        op = DistSpmv(partition_poh(a, 8))
+        b = np.random.default_rng(5).standard_normal(a.shape[0])
+        bp = op.padded(jnp.asarray(b))
+        res = cg(op.padded_op, bp, tol=1e-9, maxiter=500)
+        assert bool(res.converged)
+        x = np.asarray(res.x)[: a.shape[0]]
+        assert np.linalg.norm(spd @ x - b) < 1e-6

@@ -123,7 +123,7 @@ class TestPohTunerIntegration:
         a = power_law(2000, avg_degree=8, dtype=np.float32, seed=12)
         names = {v.name for v in
                  enumerate_variants(a, signature(a), None, include_pallas=True)}
-        assert {"poh", "poh:4096", "poh_fast"} <= names
+        assert {"poh", "poh:8192", "poh_fast:8192"} <= names
         # f64 stays off the one-hot MXU path (f32-cast would lose precision)
         a64 = power_law(2000, avg_degree=8, dtype=np.float64, seed=12)
         names64 = {v.name for v in
@@ -148,3 +148,49 @@ class TestPohSynth:
         for _ in range(30):
             x = d.spmv(x)
         assert bool(jnp.isfinite(x).all())
+
+
+class TestPohSpmm:
+    """SpMM on the panel one-hot pack (k ≤ 64)."""
+
+    @pytest.mark.parametrize("k", [8, 32, 64])
+    def test_vs_scipy(self, k):
+        a = power_law(3000, avg_degree=10, seed=1)
+        p = poh_plan(a)
+        X = np.random.default_rng(0).standard_normal((a.shape[1], k))
+        Y = np.asarray(p.spmm(jnp.asarray(X)))
+        np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-12, atol=1e-12)
+
+    def test_rectangular(self):
+        a = random_uniform(2000, 2700, density=0.003, seed=2)
+        p = poh_plan(a)
+        X = np.random.default_rng(1).standard_normal((a.shape[1], 16))
+        Y = np.asarray(p.spmm(jnp.asarray(X)))
+        np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-12, atol=1e-12)
+
+    def test_f32_precision_modes(self):
+        a = power_law(2000, avg_degree=8, dtype=np.float32, seed=3)
+        p = poh_plan(a)
+        X = np.random.default_rng(2).standard_normal((a.shape[1], 8)).astype(np.float32)
+        ref = to_scipy(a) @ X
+        # split error grows ~2^-17·sqrt(row degree): hub rows dominate
+        for prec, tol in [("split", 1e-3), ("fast", 2e-2), ("highest", 2e-4)]:
+            Y = np.asarray(p.spmm(jnp.asarray(X), precision=prec))
+            np.testing.assert_allclose(Y, ref, rtol=tol, atol=tol)
+
+    def test_k_too_large_raises(self):
+        a = power_law(500, avg_degree=5, seed=4)
+        p = poh_plan(a)
+        with pytest.raises(ValueError):
+            p.spmm(jnp.ones((a.shape[1], 128)))
+
+    def test_tuner_variant(self):
+        from cask_tpu.tune.tuner import Variant
+
+        a = power_law(1500, avg_degree=8, dtype=np.float32, seed=5)
+        X = np.ones((a.shape[1], 8), np.float32)
+        ref = to_scipy(a) @ X
+        for name in ("poh_mm", "poh_mm_fast"):
+            _, fn = Variant(name, 0.0).build(a, 8)
+            np.testing.assert_allclose(np.asarray(fn(jnp.asarray(X))), ref,
+                                       rtol=2e-4, atol=2e-4)
