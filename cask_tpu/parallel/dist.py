@@ -306,3 +306,83 @@ class DistSpmv:
         if xp.ndim == 1:
             return self._spmv(self.plan_dev, xp)
         return self._spmm(self.plan_dev, xp)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (SUMMA-style) executor
+# ---------------------------------------------------------------------------
+
+ROW_AXIS = "rows2d"
+COL_AXIS = "cols2d"
+
+
+def mesh_2d(pr: int, pc: int, *, devices=None) -> Mesh:
+    """A (rows, cols) mesh for :class:`Dist2DSpmv`."""
+    import numpy as _np
+
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < pr * pc:
+        raise ValueError(f"need {pr * pc} devices, have {len(devices)}")
+    return Mesh(_np.asarray(devices[: pr * pc]).reshape(pr, pc),
+                (ROW_AXIS, COL_AXIS))
+
+
+def _local_2d(plan, x_loc):
+    """Partial block product on one device; caller psums over cols."""
+    data, row, col = _sq(plan.data), _sq(plan.row), _sq(plan.col)
+    if x_loc.ndim == 1:
+        prod = data * x_loc[col]
+    else:
+        prod = data[:, None] * x_loc[col]
+    part = jax.ops.segment_sum(prod, row, num_segments=plan.mr)
+    return jax.lax.psum(part, COL_AXIS)
+
+
+class Dist2DSpmv:
+    """2-D block-partitioned SpMV/SpMM over a (rows, cols) mesh.
+
+    Per-chip x footprint is n/pc (vs the 1-D plans' all-gathered n) and
+    the only collective is a cols-axis ``psum`` of y partials — the 2-D
+    point of the scaling-book recipe.  y returns sharded over rows.
+    """
+
+    def __init__(self, plan: "Coo2DPartition", mesh: Optional[Mesh] = None):
+        from cask_tpu.parallel.partition import Coo2DPartition
+
+        assert isinstance(plan, Coo2DPartition)
+        self.plan = plan
+        self.mesh = mesh if mesh is not None else mesh_2d(plan.pr, plan.pc)
+        if (self.mesh.shape[ROW_AXIS], self.mesh.shape[COL_AXIS]) != (plan.pr, plan.pc):
+            raise ValueError("mesh shape does not match the plan's pr × pc")
+        plan_specs = jax.tree.map(lambda _: P((ROW_AXIS, COL_AXIS)), plan)
+        self._spmv = jax.jit(shard_map(
+            lambda pl_, x: _local_2d(pl_, x),
+            mesh=self.mesh,
+            in_specs=(plan_specs, P(COL_AXIS)),
+            out_specs=P(ROW_AXIS),
+            check_vma=False,
+        ))
+        self._spmm = jax.jit(shard_map(
+            lambda pl_, x: _local_2d(pl_, x),
+            mesh=self.mesh,
+            in_specs=(plan_specs, P(COL_AXIS, None)),
+            out_specs=P(ROW_AXIS, None),
+            check_vma=False,
+        ))
+        self.plan_dev = jax.device_put(
+            plan, jax.tree.map(lambda s: NamedSharding(self.mesh, s), plan_specs))
+
+    def padded_x(self, x):
+        x = jnp.asarray(x)
+        pad = self.plan.pc * self.plan.mc - x.shape[0]
+        xp = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        spec = P(COL_AXIS) if x.ndim == 1 else P(COL_AXIS, None)
+        return jax.device_put(xp, NamedSharding(self.mesh, spec))
+
+    def __call__(self, x):
+        xp = self.padded_x(x)
+        y = self._spmv(self.plan_dev, xp) if xp.ndim == 1 else \
+            self._spmm(self.plan_dev, xp)
+        m = self.plan.shape[0]
+        y = jax.device_put(y, NamedSharding(self.mesh, P()))
+        return y[:m]

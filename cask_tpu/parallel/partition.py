@@ -326,3 +326,59 @@ def partition_poh(a: CSR, nshards: int, *, row_panel: int = 4096,
         shape=(m, n), nshards=P, mloc=mloc,
         row_panel=ints[0].row_panel, col_window=ints[0].col_window,
     )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Coo2DPartition:
+    """2-D block partition over a (rows, cols) mesh — SUMMA-style SpMV.
+
+    Device (i, j) of a ``pr × pc`` mesh owns block ``A[i·mr:(i+1)·mr,
+    j·mc:(j+1)·mc]`` as local COO.  x is sharded over the *cols* axis
+    (each chip holds n/pc entries, vs the full gathered n of the 1-D
+    plans), partial products ``A_ij @ x_j`` are summed with a ``psum``
+    over the cols axis, and y lands sharded over the rows axis.  This is
+    the scaling-book 2-D recipe: per-chip vector memory and collective
+    payload shrink with the mesh's second dimension.
+    """
+
+    data: jax.Array  # (pr*pc, E)
+    row: jax.Array  # (pr*pc, E) block-local row
+    col: jax.Array  # (pr*pc, E) block-local col
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    pr: int = dataclasses.field(metadata=dict(static=True))
+    pc: int = dataclasses.field(metadata=dict(static=True))
+    mr: int = dataclasses.field(metadata=dict(static=True))
+    mc: int = dataclasses.field(metadata=dict(static=True))
+
+    def device_put(self, device=None) -> "Coo2DPartition":
+        return jax.tree.map(lambda x: jax.device_put(x, device), self)
+
+
+def partition_2d(a: CSR, pr: int, pc: int) -> Coo2DPartition:
+    """Block-partition a CSR over a pr × pc device grid."""
+    m, n = a.shape
+    mr = _ceil_div(m, pr)
+    mc = _ceil_div(n, pc)
+    indptr = np.asarray(a.indptr, dtype=np.int64)
+    indices = np.asarray(a.indices, dtype=np.int64)
+    data = np.asarray(a.data)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+    bi = rows // mr
+    bj = indices // mc
+
+    groups_d, groups_r, groups_c = [], [], []
+    for i in range(pr):
+        for j in range(pc):
+            sel = (bi == i) & (bj == j)
+            groups_d.append(data[sel])
+            groups_r.append(rows[sel] - i * mr)
+            groups_c.append(indices[sel] - j * mc)
+    E = max((g.shape[0] for g in groups_d), default=0) or 1
+    P = pr * pc
+    return Coo2DPartition(
+        data=jax.numpy.asarray(_pad_rows(groups_d, P, E, 0.0, data.dtype)),
+        row=jax.numpy.asarray(_pad_rows(groups_r, P, E)),
+        col=jax.numpy.asarray(_pad_rows(groups_c, P, E)),
+        shape=(m, n), pr=pr, pc=pc, mr=mr, mc=mc,
+    )

@@ -288,3 +288,38 @@ class TestPohPartition:
         assert bool(res.converged)
         x = np.asarray(res.x)[: a.shape[0]]
         assert np.linalg.norm(spd @ x - b) < 1e-6
+
+
+class TestPartition2D:
+    """SUMMA-style 2-D block partition: x sharded over cols, psum over
+    the cols axis, y sharded over rows."""
+
+    @pytest.mark.parametrize("grid", [(2, 4), (4, 2), (8, 1), (1, 8)])
+    def test_spmv(self, grid):
+        from cask_tpu.parallel import Dist2DSpmv, mesh_2d, partition_2d
+
+        pr, pc = grid
+        a = power_law(3000, avg_degree=8, seed=1)
+        op = Dist2DSpmv(partition_2d(a, pr, pc), mesh_2d(pr, pc))
+        x = np.random.default_rng(0).standard_normal(a.shape[1])
+        y = np.asarray(op(jnp.asarray(x)))
+        np.testing.assert_allclose(y, to_scipy(a) @ x, rtol=1e-12, atol=1e-12)
+
+    def test_rectangular_spmm(self):
+        from cask_tpu.formats.generate import random_uniform
+        from cask_tpu.parallel import Dist2DSpmv, partition_2d
+
+        a = random_uniform(2000, 3100, density=0.004, seed=2)
+        op = Dist2DSpmv(partition_2d(a, 2, 4))
+        X = np.random.default_rng(1).standard_normal((a.shape[1], 8))
+        Y = np.asarray(op(jnp.asarray(X)))
+        np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-12, atol=1e-12)
+
+    def test_banded(self):
+        from cask_tpu.parallel import Dist2DSpmv, partition_2d
+
+        a = banded(1500, 5, seed=3)
+        op = Dist2DSpmv(partition_2d(a, 4, 2))
+        x = np.random.default_rng(2).standard_normal(a.shape[1])
+        y = np.asarray(op(jnp.asarray(x)))
+        np.testing.assert_allclose(y, to_scipy(a) @ x, rtol=1e-12, atol=1e-12)
