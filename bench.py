@@ -125,6 +125,31 @@ def main():
                           "error": "all variants failed"}))
         return
 
+    # secondary record: unstructured SpMV on the panel one-hot kernel
+    # (never allowed to fail the headline)
+    unstructured = None
+    try:
+        if not on_tpu:
+            raise RuntimeError("interpret-mode POH too slow for CPU bench")
+        from cask_tpu.ops.pallas.poh_kernels import poh_synth_device
+
+        dp = poh_synth_device(n_panels=25, tile_slots=8192, tiles_per_panel=15)
+        slots = dp.ntiles * 8192
+        xp0 = jax.jit(lambda n=dp.shape[1]: jax.random.normal(
+            jax.random.PRNGKey(7), (n,), jnp.float32))()
+        mp = measure_chained(lambda v: dp.spmv(v, precision="split"), xp0,
+                             k1=5, k2=60, points=3, repeats=1)
+        unstructured = {
+            "kernel": "poh_split_T8192",
+            "slots": slots,
+            "seconds_per_op": mp.seconds_per_iter,
+            "gnnz_per_s": round(slots / mp.seconds_per_iter / 1e9, 3),
+            "reliable": mp.reliable,
+        }
+    except Exception as e:  # noqa: BLE001
+        print(f"# unstructured bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     fracs = {k: v["bytes"] / v["s"] / HBM_BW for k, v in results.items()}
     # a fraction > 1 is physically impossible — noise-corrupted timing;
     # prefer reliable+plausible > plausible > anything
@@ -154,6 +179,7 @@ def main():
             "reliable": results[best]["reliable"],
             "all_variants_us": {k: round(v["s"] * 1e6, 2) for k, v in results.items()},
             "all_variants_frac": {k: round(f, 4) for k, f in fracs.items()},
+            "unstructured": unstructured,
             "wall_s": round(time.time() - t_start, 1),
         },
     }

@@ -194,3 +194,23 @@ class TestPohSpmm:
             _, fn = Variant(name, 0.0).build(a, 8)
             np.testing.assert_allclose(np.asarray(fn(jnp.asarray(X))), ref,
                                        rtol=2e-4, atol=2e-4)
+
+
+class TestPohDebug:
+    def test_check_poh_validates_and_reconstructs(self):
+        from cask_tpu.utils.debug import check_poh
+
+        a = power_law(2500, avg_degree=9, seed=21)
+        check_poh(poh_plan(a), a)
+
+    def test_check_poh_catches_corruption(self):
+        import dataclasses
+
+        from cask_tpu.utils.debug import check_poh
+
+        a = power_law(800, avg_degree=6, seed=22)
+        p = poh_plan(a)
+        bad = dataclasses.replace(
+            p, cloc=jnp.asarray(np.asarray(p.cloc) + 10_000))
+        with pytest.raises(AssertionError):
+            check_poh(bad)
