@@ -127,13 +127,16 @@ class PohMatrix:
         return poh_spmm_pallas(self, x, precision=precision)
 
 
-def poh_plan(a: CSR, *, row_panel: int = 4096, col_window: int = 1024,
-             tile_slots: int = 2048) -> PohMatrix:
+def poh_plan(a: CSR, *, row_panel: int = 4096, col_window=\
+             "auto", tile_slots: int = 2048) -> PohMatrix:
     """Pack a CSR matrix into panel one-hot tiles (host, numpy).
 
     ``row_panel`` (R): rows per output accumulator window — larger panels
     give denser column packing but a taller scatter one-hot.
     ``col_window`` (C): x window granularity; the effective window is 2C.
+    ``"auto"`` sizes C to the expected column span of one tile's
+    col-sorted slots (too-small windows force tile cuts and crater fill:
+    measured 0.46 → 0.93 on a symmetrized power-law, probe_pohcg2).
     ``tile_slots`` (T): nnz slots per grid step, multiple of 128.
     """
     m, n = a.shape
@@ -141,7 +144,13 @@ def poh_plan(a: CSR, *, row_panel: int = 4096, col_window: int = 1024,
         raise ValueError("tile_slots must be a multiple of 128")
     R = max(-(-row_panel // _LANE) * _LANE, _LANE)
     R = min(R, max(-(-m // _LANE) * _LANE, _LANE))
-    C = max(-(-col_window // _LANE) * _LANE, _LANE)
+    if col_window == "auto":
+        nnz_per_panel = max(a.nnz * R / max(m, 1), 1.0)
+        span = tile_slots * max(n, 1) / nnz_per_panel
+        col_window = 128
+        while col_window < min(span, 8192):
+            col_window *= 2
+    C = max(-(-int(col_window) // _LANE) * _LANE, _LANE)
     S = tile_slots // _LANE
     T = tile_slots
     nseg = -(-max(n, 1) // C)
@@ -303,6 +312,10 @@ def _poh_kernel(S, C, nhy, cdt, pdt, mode,
     iota_hy = lax.broadcasted_iota(jnp.int32, (nhy, _LANE), 0)
     iota_tl = lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
 
+    # NOTE: chunking slot-rows into wide concatenated dots (one N=512
+    # gather dot + one K=512 scatter dot per 4 rows) was measured SLOWER
+    # (probe_poh5: 844 → 1141 µs split) — the one-hot concat copies cost
+    # more than the extra dot issues save.  Keep the per-row small dots.
     local = jnp.zeros((nhy, _LANE), pdt)
     for s in range(S):
         clo = jnp.broadcast_to(CLOC[s : s + 1] & (_LANE - 1), (_LANE, _LANE))
