@@ -170,3 +170,57 @@ class TestChebyshev:
                         tol=1e-8, maxiter=2000)
         assert bool(res.converged)
         np.testing.assert_allclose(dense @ np.asarray(res.x), b, rtol=1e-5, atol=1e-6)
+
+
+class TestChebyshevPrecond:
+    def test_reduces_cg_iterations(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.generate import stencil_2d
+        from cask_tpu.solvers.krylov import cg
+        from cask_tpu.solvers.precond import (chebyshev_precond,
+                                              estimate_lmax, jacobi)
+
+        a = stencil_2d(40)
+        lmax = estimate_lmax(a.device_put(), a.shape[0], iters=30)
+        M = chebyshev_precond(a.device_put(), lmin=lmax / 100, lmax=lmax,
+                              degree=8, M=jacobi(a))
+        b = jnp.asarray(np.random.default_rng(0).standard_normal(a.shape[0]))
+        plain = cg(a.device_put(), b, tol=1e-8, maxiter=800)
+        pre = cg(a.device_put(), b, tol=1e-8, maxiter=800, M=M)
+        assert bool(pre.converged)
+        assert int(pre.iterations) < int(plain.iterations) // 2
+
+    def test_linear_operator(self):
+        # fixed-degree Chebyshev is linear: M(a r1 + r2) == a M(r1) + M(r2)
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.generate import banded
+        from cask_tpu.solvers.precond import chebyshev_precond
+
+        a = banded(300, 3, seed=1, spd=True)
+        M = chebyshev_precond(a.device_put(), lmin=0.1, lmax=4.0, degree=5)
+        rng = np.random.default_rng(2)
+        r1 = jnp.asarray(rng.standard_normal(300))
+        r2 = jnp.asarray(rng.standard_normal(300))
+        lhs = np.asarray(M(2.5 * r1 + r2))
+        rhs = 2.5 * np.asarray(M(r1)) + np.asarray(M(r2))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-10, atol=1e-10)
+
+    def test_distributed(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.generate import stencil_2d
+        from cask_tpu.parallel import DistSpmv, partition_dia
+        from cask_tpu.solvers.krylov import cg
+        from cask_tpu.solvers.precond import chebyshev_precond
+
+        a = stencil_2d(32)
+        op = DistSpmv(partition_dia(a, 8))
+        M = chebyshev_precond(op.padded_op, lmin=0.1, lmax=8.0, degree=6)
+        b = np.random.default_rng(3).standard_normal(a.shape[0])
+        bp = op.padded(jnp.asarray(b))
+        plain = cg(op.padded_op, bp, tol=1e-8, maxiter=800)
+        pre = cg(op.padded_op, bp, tol=1e-8, maxiter=800, M=M)
+        assert bool(pre.converged)
+        assert int(pre.iterations) < int(plain.iterations)
