@@ -124,7 +124,15 @@ class PohMatrix:
         return poh_spmv_pallas(self, x, precision=precision)
 
     def spmm(self, x, *, precision: str = "split"):
-        return poh_spmm_pallas(self, x, precision=precision)
+        k = int(x.shape[1])
+        if k <= _POH_SPMM_MAX_K:
+            return poh_spmm_pallas(self, x, precision=precision)
+        # wide RHS: chunk k (each chunk re-streams the slot arrays, but
+        # the kernel is compute-bound so the extra HBM reads are cheap)
+        outs = [poh_spmm_pallas(self, x[:, c : c + _POH_SPMM_MAX_K],
+                                precision=precision)
+                for c in range(0, k, _POH_SPMM_MAX_K)]
+        return jnp.concatenate(outs, axis=1)
 
 
 def poh_plan(a: CSR, *, row_panel: int = 4096, col_window=\

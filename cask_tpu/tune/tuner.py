@@ -132,8 +132,15 @@ def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
     kp = max(128, -(-kk // 128) * 128) if k else 1  # lane-padded dense width
     xbytes = (n + m) * db * kk
 
+    # On TPU (include_pallas), the csr gather path's real cost is set by
+    # scalar gathers, not bytes — measured ~12000 time-equivalent B/nnz
+    # for SpMV (65 Mnnz/s, PERF.md).  Without the penalty the byte model
+    # ranks csr_xla first on every unstructured matrix and wastes a
+    # timing slot the one-hot kernels always win.
+    gather_pen = nnz * 1000.0 * kk if include_pallas else 0.0
     out: List[Variant] = [
-        Variant("csr_xla", nnz * (db + 4) + 2.0 * nnz * db * kk + xbytes)
+        Variant("csr_xla", nnz * (db + 4) + 2.0 * nnz * db * kk + xbytes
+                + gather_pen)
     ]
 
     for b, fill_pct in zip(Signature.BLOCK_PROBE, sig.block_fill):

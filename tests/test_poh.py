@@ -178,11 +178,20 @@ class TestPohSpmm:
             Y = np.asarray(p.spmm(jnp.asarray(X), precision=prec))
             np.testing.assert_allclose(Y, ref, rtol=tol, atol=tol)
 
-    def test_k_too_large_raises(self):
+    def test_wide_k_chunks(self):
+        a = power_law(1000, avg_degree=6, seed=4)
+        p = poh_plan(a)
+        X = np.random.default_rng(4).standard_normal((a.shape[1], 150))
+        Y = np.asarray(p.spmm(jnp.asarray(X)))
+        np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-12, atol=1e-12)
+
+    def test_raw_kernel_k_limit_raises(self):
+        from cask_tpu.ops.pallas.poh_kernels import poh_spmm_pallas
+
         a = power_law(500, avg_degree=5, seed=4)
         p = poh_plan(a)
         with pytest.raises(ValueError):
-            p.spmm(jnp.ones((a.shape[1], 128)))
+            poh_spmm_pallas(p, jnp.ones((a.shape[1], 128)))
 
     def test_tuner_variant(self):
         from cask_tpu.tune.tuner import Variant
