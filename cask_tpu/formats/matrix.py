@@ -70,6 +70,10 @@ class COO:
         np.add.at(out, (np.asarray(self.row), np.asarray(self.col)), np.asarray(self.data))
         return out
 
+    def astype(self, dtype) -> "COO":
+        """Copy with values cast to ``dtype`` (indices unchanged)."""
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +117,10 @@ class CSR:
 
     def row_lengths(self) -> np.ndarray:
         return np.diff(np.asarray(self.indptr))
+
+    def astype(self, dtype) -> "CSR":
+        """Copy with values cast to ``dtype`` (indices unchanged)."""
+        return dataclasses.replace(self, data=self.data.astype(dtype))
 
 
 @jax.tree_util.register_dataclass
@@ -191,3 +199,7 @@ class BSR:
         data = np.asarray(self.data)
         true_nnz = int(np.count_nonzero(data))
         return float(self.nnz) / max(true_nnz, 1)
+
+    def astype(self, dtype) -> "BSR":
+        """Copy with values cast to ``dtype`` (indices unchanged)."""
+        return dataclasses.replace(self, data=self.data.astype(dtype))

@@ -7,4 +7,11 @@ from cask_tpu.solvers.krylov import (  # noqa: F401
     chebyshev,
     gmres,
 )
-from cask_tpu.solvers.precond import block_jacobi, jacobi  # noqa: F401
+from cask_tpu.solvers.precond import (  # noqa: F401
+    block_jacobi,
+    chebyshev_precond,
+    estimate_lmax,
+    jacobi,
+    lanczos_extremal,
+    shard_ilu0,
+)

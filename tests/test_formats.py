@@ -236,3 +236,21 @@ class TestBcooInterop:
         from cask_tpu import spmv
 
         np.testing.assert_allclose(np.asarray(y_bcoo), np.asarray(spmv(a, x)), rtol=1e-12)
+
+
+class TestAstype:
+    def test_astype_all_formats(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import csr_to_bsr, csr_to_coo
+
+        a = banded(64, 2, seed=0)
+        for mat in (a, csr_to_coo(a), csr_to_bsr(a, (4, 4))):
+            lo = mat.astype(jnp.float32)
+            assert lo.dtype == jnp.float32
+            assert lo.shape == mat.shape
+            np.testing.assert_allclose(
+                lo.todense(), mat.todense().astype(np.float32), rtol=1e-6)
+            # indices untouched (shared identity is fine)
+            hi = lo.astype(np.float64)
+            np.testing.assert_allclose(hi.todense(), lo.todense())

@@ -224,3 +224,41 @@ class TestChebyshevPrecond:
         pre = cg(op.padded_op, bp, tol=1e-8, maxiter=800, M=M)
         assert bool(pre.converged)
         assert int(pre.iterations) < int(plain.iterations)
+
+
+class TestLanczosExtremal:
+    def test_bounds_spd_spectrum(self):
+        from cask_tpu.solvers import lanczos_extremal
+
+        a = stencil_2d(16)  # 256×256 SPD, spectrum known via dense eigh
+        ev = np.linalg.eigvalsh(to_scipy(a).toarray())
+        lmin, lmax = lanczos_extremal(a.device_put(), a.shape[0], iters=40)
+        # estimates bracket the true spectrum (after the outward nudge)
+        assert lmax >= ev[-1] * 0.999
+        assert lmax <= ev[-1] * 1.15
+        assert 0 < lmin <= ev[0] * 1.3
+
+    def test_feeds_chebyshev_precond(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.solvers import chebyshev_precond, lanczos_extremal
+
+        a = stencil_2d(20)
+        dev = a.device_put()
+        lmin, lmax = lanczos_extremal(dev, a.shape[0], iters=30)
+        M = chebyshev_precond(dev, lmin=lmin, lmax=lmax, degree=6)
+        b = jnp.asarray(np.random.default_rng(7).standard_normal(a.shape[0]))
+        plain = cg(dev, b, tol=1e-8, maxiter=800)
+        pre = cg(dev, b, tol=1e-8, maxiter=800, M=M)
+        assert bool(pre.converged)
+        assert int(pre.iterations) < int(plain.iterations)
+
+    def test_callable_operator(self):
+        from cask_tpu import spmv
+        from cask_tpu.solvers import lanczos_extremal
+
+        a = banded(200, 2, seed=4, spd=True)
+        dev = a.device_put()
+        lmin, lmax = lanczos_extremal(lambda v: spmv(dev, v), a.shape[0])
+        ev = np.linalg.eigvalsh(to_scipy(a).toarray())
+        assert lmax >= ev[-1] * 0.99
