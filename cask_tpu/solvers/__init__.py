@@ -4,8 +4,11 @@ from cask_tpu.solvers.krylov import (  # noqa: F401
     SolveResult,
     bicgstab,
     cg,
+    cgls,
     chebyshev,
     gmres,
+    ir_solve,
+    minres,
 )
 from cask_tpu.solvers.precond import (  # noqa: F401
     block_jacobi,

@@ -1,4 +1,5 @@
-"""Iterative Krylov solvers: CG, preconditioned CG, BiCGStab, GMRES(m).
+"""Iterative Krylov solvers: CG, BiCGStab, MINRES, GMRES(m), CGLS,
+Chebyshev, and mixed-precision iterative refinement.
 
 cask analog: the CG-flavored solver demo (SURVEY.md §2 R7, §3.3).  The
 design lesson from cask's call stack applies directly: cask paid a PCIe
@@ -176,6 +177,170 @@ def chebyshev(a, b, *, lmin: float, lmax: float, x0=None, tol: float = 1e-8,
 
     st = (x0, r0, d0, jnp.asarray(alpha0, b.dtype), jnp.int32(0))
     x, r, _, _, k = jax.lax.while_loop(cond, body, st)
+    rn = jnp.linalg.norm(r)
+    return SolveResult(x=x, iterations=k, residual_norm=rn, converged=rn <= target)
+
+
+def minres(a, b, *, x0=None, tol: float = 1e-8, atol: float = 0.0, maxiter: int = 1000,
+           M: Optional[Callable] = None) -> SolveResult:
+    """MINRES for symmetric (possibly indefinite) ``a``.
+
+    Lanczos + Givens QR with three-term recurrences — per iteration one
+    SpMV, one preconditioner apply, two dots and a handful of axpys, all
+    inside one jitted ``lax.while_loop`` like the other solvers.  Where
+    CG requires positive definiteness, MINRES only needs symmetry
+    (saddle-point systems, shifted Laplacians).  ``M`` must be SPD; the
+    convergence test is then on the M⁻¹-norm of the residual (the
+    quantity MINRES minimizes), and reduces to ‖r‖₂ when ``M`` is None.
+    """
+    op = _as_operator(a)
+    M = M or _ident
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    r0 = b - op(x0)
+    z0 = M(r0)
+    gamma0 = jnp.sqrt(jnp.maximum(jnp.vdot(r0, z0), 0))
+    target = jnp.maximum(tol * gamma0, atol).astype(b.dtype)
+    zeros = jnp.zeros_like(b)
+    one = jnp.ones((), b.dtype)
+    nil = jnp.zeros((), b.dtype)
+
+    # carry: x, v_old, v, z (=M v, both unnormalized), gamma_old, gamma,
+    #        eta (residual estimate), c_old, c, s_old, s, w_old, w, k
+    state0 = (x0, zeros, r0, z0, one, gamma0, gamma0,
+              one, one, nil, nil, zeros, zeros, jnp.int32(0))
+
+    def cond(st):
+        eta, k = st[6], st[13]
+        return (jnp.abs(eta) > target) & (k < maxiter)
+
+    def body(st):
+        (x, v_old, v, z, gamma_old, gamma, eta,
+         c_old, c, s_old, s, w_old, w, k) = st
+        g = jnp.where(gamma == 0, 1, gamma)
+        zj = z / g
+        az = op(zj)
+        delta = jnp.vdot(zj, az)
+        v_new = az - (delta / g) * v - (gamma / jnp.where(gamma_old == 0, 1, gamma_old)) * v_old
+        z_new = M(v_new)
+        gamma_new = jnp.sqrt(jnp.maximum(jnp.vdot(z_new, v_new), 0))
+        a0 = c * delta - c_old * s * gamma
+        a1 = jnp.sqrt(a0 * a0 + gamma_new * gamma_new)
+        a2 = s * delta + c_old * c * gamma
+        a3 = s_old * gamma
+        a1s = jnp.where(a1 == 0, 1, a1)
+        c_new = a0 / a1s
+        s_new = gamma_new / a1s
+        w_new = (zj - a3 * w_old - a2 * w) / a1s
+        x = x + c_new * eta * w_new
+        eta = -s_new * eta
+        return (x, v, v_new, z_new, gamma, gamma_new, eta,
+                c, c_new, s, s_new, w, w_new, k + 1)
+
+    st = jax.lax.while_loop(cond, body, state0)
+    x, k = st[0], st[13]
+    rn = jnp.linalg.norm(b - op(x))
+    return SolveResult(x=x, iterations=k, residual_norm=rn,
+                       converged=jnp.abs(st[6]) <= target)
+
+
+def cgls(a, b, *, at: Optional[Callable] = None, x0=None, tol: float = 1e-8,
+         atol: float = 0.0, maxiter: int = 1000) -> SolveResult:
+    """CGLS: least-squares ``min ‖A x − b‖₂`` for rectangular ``a``.
+
+    Conjugate gradients on the normal equations ``AᵀA x = Aᵀ b`` without
+    ever forming ``AᵀA`` — each iteration is one SpMV plus one
+    transposed SpMV (:func:`cask_tpu.spmv` with ``transpose=True``; no
+    explicit Aᵀ is materialized).  For a callable ``a``, pass the
+    transposed operator as ``at``.  Convergence is on the
+    normal-equation residual ``‖Aᵀr‖`` relative to ``‖Aᵀb‖``; the
+    reported ``residual_norm`` is ``‖Aᵀr‖`` (zero at the least-squares
+    solution even when ``‖r‖`` is not).
+    """
+    if callable(a) and not hasattr(a, "shape"):
+        if at is None:
+            raise ValueError("cgls with a callable operator requires at= (x -> A^T x)")
+        op, opt = a, at
+    else:
+        op = lambda v: spmv(a, v)  # noqa: E731
+        opt = lambda v: spmv(a, v, transpose=True)  # noqa: E731
+
+    b = jnp.asarray(b)
+    s_b = opt(b)
+    x0 = jnp.zeros_like(s_b) if x0 is None else jnp.asarray(x0)
+    target = jnp.maximum(tol * jnp.linalg.norm(s_b), atol).astype(b.dtype)
+
+    r0 = b - op(x0)
+    s0 = opt(r0)
+    p0 = s0
+    gamma0 = jnp.vdot(s0, s0)
+
+    def cond(st):
+        _, _, _, gamma, k = st
+        return (jnp.sqrt(gamma) > target) & (k < maxiter)
+
+    def body(st):
+        x, r, p, gamma, k = st
+        q = op(p)
+        alpha = gamma / jnp.vdot(q, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        s = opt(r)
+        gamma_new = jnp.vdot(s, s)
+        p = s + (gamma_new / gamma) * p
+        return (x, r, p, gamma_new, k + 1)
+
+    x, r, _, gamma, k = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, gamma0, jnp.int32(0)))
+    rn = jnp.sqrt(gamma)
+    return SolveResult(x=x, iterations=k, residual_norm=rn, converged=rn <= target)
+
+
+def ir_solve(a, b, *, work_dtype=jnp.float32, tol: float = 1e-12, atol: float = 0.0,
+             maxiter: int = 20, inner: str = "cg", inner_tol: float = 1e-5,
+             inner_maxiter: int = 300, M: Optional[Callable] = None) -> SolveResult:
+    """Mixed-precision iterative refinement: f64 accuracy at f32 speed.
+
+    The TPU dtype story (SURVEY.md §7 hard-part (e)): f64 multiplies are
+    emulated and slow, so the correction solve runs entirely in
+    ``work_dtype`` (f32 by default — MXU/VPU native), while the residual
+    ``r = b − A x`` is recomputed in the precision of ``b`` (f64 under
+    x64) each outer step.  Classic Wilkinson refinement: as long as the
+    inner solver contracts the error at all, the outer loop converges to
+    working-precision accuracy of the *high*-precision system.  The
+    whole nest (outer while_loop, inner Krylov while_loop) is one jitted
+    device-resident program.
+
+    ``a`` must be a cask_tpu matrix (both precisions are needed; the
+    low-precision copy is built with :meth:`astype`).  ``M`` is an
+    optional preconditioner for the inner solver, built at
+    ``work_dtype``.  ``iterations`` counts outer refinement steps.
+    """
+    if callable(a) and not hasattr(a, "shape"):
+        raise ValueError("ir_solve needs a matrix (it builds a low-precision copy)")
+    b = jnp.asarray(b)
+    a_lo = a.astype(work_dtype)
+    inner_fn = {"cg": cg, "bicgstab": bicgstab, "minres": minres}[inner]
+
+    op_hi = lambda v: spmv(a, v)  # noqa: E731
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(tol * bnorm, atol).astype(b.dtype)
+
+    def cond(st):
+        _, r, k = st
+        return (jnp.linalg.norm(r) > target) & (k < maxiter)
+
+    def body(st):
+        x, r, k = st
+        d = inner_fn(a_lo, r.astype(work_dtype), tol=inner_tol,
+                     maxiter=inner_maxiter, M=M).x
+        x = x + d.astype(b.dtype)
+        r = b - op_hi(x)
+        return (x, r, k + 1)
+
+    x0 = jnp.zeros_like(b)
+    x, r, k = jax.lax.while_loop(cond, body, (x0, b, jnp.int32(0)))
     rn = jnp.linalg.norm(r)
     return SolveResult(x=x, iterations=k, residual_norm=rn, converged=rn <= target)
 

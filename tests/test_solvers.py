@@ -257,8 +257,122 @@ class TestLanczosExtremal:
         from cask_tpu import spmv
         from cask_tpu.solvers import lanczos_extremal
 
-        a = banded(200, 2, seed=4, spd=True)
+        a = stencil_2d(14)  # symmetric (Lanczos requirement)
         dev = a.device_put()
         lmin, lmax = lanczos_extremal(lambda v: spmv(dev, v), a.shape[0])
         ev = np.linalg.eigvalsh(to_scipy(a).toarray())
         assert lmax >= ev[-1] * 0.99
+
+
+class TestMinres:
+    def test_symmetric_indefinite(self):
+        from cask_tpu.ops.add import shift_identity
+        from cask_tpu.solvers import minres
+
+        a = shift_identity(_spd(), -2.5)  # spectrum straddles 0
+        ev = np.linalg.eigvalsh(to_scipy(a).toarray())
+        assert ev[0] < 0 < ev[-1]  # genuinely indefinite
+        b = np.random.default_rng(0).standard_normal(a.shape[0])
+        res = minres(a.device_put(), b, tol=1e-10, maxiter=2000)
+        assert bool(res.converged)
+        x_ref = np.linalg.solve(to_scipy(a).toarray(), b)
+        np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5, atol=1e-6)
+
+    def test_spd_matches_cg(self):
+        from cask_tpu.solvers import minres
+
+        a = _spd()
+        b = np.random.default_rng(1).standard_normal(a.shape[0])
+        mres = minres(a.device_put(), b, tol=1e-10, maxiter=1000)
+        cres = cg(a.device_put(), b, tol=1e-10, maxiter=1000)
+        assert bool(mres.converged)
+        np.testing.assert_allclose(np.asarray(mres.x), np.asarray(cres.x),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_jacobi_preconditioned(self):
+        from cask_tpu.solvers import minres
+        from cask_tpu.solvers.precond import jacobi
+
+        a = stencil_2d(20)  # symmetric (MINRES requirement)
+        b = np.random.default_rng(2).standard_normal(a.shape[0])
+        plain = minres(a.device_put(), b, tol=1e-9, maxiter=2000)
+        pre = minres(a.device_put(), b, tol=1e-9, maxiter=2000, M=jacobi(a))
+        assert bool(pre.converged)
+        assert int(pre.iterations) <= int(plain.iterations)
+        resid = to_scipy(a) @ np.asarray(pre.x) - b
+        assert np.linalg.norm(resid) / np.linalg.norm(b) < 1e-8
+
+
+class TestCgls:
+    def test_overdetermined_least_squares(self):
+        from cask_tpu.formats.generate import random_uniform
+        from cask_tpu.solvers import cgls
+
+        a = random_uniform(300, 120, density=0.1, seed=3)
+        b = np.random.default_rng(4).standard_normal(300)
+        res = cgls(a.device_put(), b, tol=1e-12, maxiter=2000)
+        assert bool(res.converged)
+        x_ref = np.linalg.lstsq(to_scipy(a).toarray(), b, rcond=None)[0]
+        np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)
+
+    def test_callable_requires_at(self):
+        import pytest
+
+        from cask_tpu.solvers import cgls
+
+        with pytest.raises(ValueError):
+            cgls(lambda v: v, np.ones(4))
+
+    def test_callable_operator_pair(self):
+        from cask_tpu import spmv
+        from cask_tpu.formats.generate import random_uniform
+        from cask_tpu.solvers import cgls
+
+        a = random_uniform(200, 80, density=0.12, seed=6)
+        dev = a.device_put()
+        b = np.random.default_rng(5).standard_normal(200)
+        res = cgls(lambda v: spmv(dev, v), b,
+                   at=lambda v: spmv(dev, v, transpose=True),
+                   tol=1e-12, maxiter=2000)
+        x_ref = np.linalg.lstsq(to_scipy(a).toarray(), b, rcond=None)[0]
+        np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+class TestIterativeRefinement:
+    def test_f64_accuracy_from_f32_inner(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.solvers import ir_solve
+
+        a = stencil_2d(16)  # f64
+        b = np.random.default_rng(7).standard_normal(a.shape[0])
+        res = ir_solve(a.device_put(), b, work_dtype=jnp.float32,
+                       tol=1e-12, maxiter=20, inner_tol=1e-5, inner_maxiter=400)
+        assert bool(res.converged)
+        assert np.asarray(res.x).dtype == np.float64
+        relres = np.linalg.norm(to_scipy(a) @ np.asarray(res.x) - b) / np.linalg.norm(b)
+        assert relres < 1e-12
+        # converges in a handful of outer refinements, not maxiter
+        assert int(res.iterations) <= 6
+
+    def test_preconditioned_inner(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.solvers import ir_solve
+        from cask_tpu.solvers.precond import jacobi
+
+        a = stencil_2d(14)  # symmetric SPD (inner CG requirement)
+        b = np.random.default_rng(9).standard_normal(a.shape[0])
+        res = ir_solve(a.device_put(), b, work_dtype=jnp.float32, tol=1e-12,
+                       M=jacobi(a.astype(np.float32)))
+        assert bool(res.converged)
+        relres = np.linalg.norm(to_scipy(a) @ np.asarray(res.x) - b) / np.linalg.norm(b)
+        assert relres < 1e-12
+
+    def test_rejects_callable(self):
+        import pytest
+
+        from cask_tpu.solvers import ir_solve
+
+        with pytest.raises(ValueError):
+            ir_solve(lambda v: v, np.ones(4))
