@@ -10,6 +10,10 @@ from cask_tpu.solvers.krylov import (  # noqa: F401
     ir_solve,
     minres,
 )
+from cask_tpu.solvers.amg import (  # noqa: F401
+    AmgPrecond,
+    smoothed_aggregation_amg,
+)
 from cask_tpu.solvers.precond import (  # noqa: F401
     block_jacobi,
     chebyshev_precond,

@@ -1,0 +1,194 @@
+"""Smoothed-aggregation algebraic multigrid (AMG) preconditioner.
+
+The scalable preconditioner for the Poisson/FEM class of matrices the
+framework targets (cask's solver demo matrices — SURVEY.md §2 R7): CG
+iteration counts stay O(1) as the grid grows, where ILU/Jacobi degrade.
+
+Split per the architecture invariant (host planning / device compute):
+
+- **Setup (host, once per structure+values):** strength-of-connection
+  graph → greedy (Vaněk-style) aggregation → piecewise-constant
+  tentative prolongator → Jacobi-smoothed prolongator → Galerkin
+  ``A_c = Pᵀ A P`` coarse operators, recursing until the coarsest level
+  is small enough to invert densely.  scipy.sparse does the one-off
+  triple products, like the ILU(0) host path.
+- **Apply (device):** one V-cycle — weighted-Jacobi pre/post smoothing,
+  restriction/prolongation as SpMVs on device-resident CSRs, a dense
+  matmul coarse solve — unrolled over the (static) level hierarchy into
+  a single jittable callable, so ``cg(..., M=amg)`` compiles to one
+  device program with no host round-trips.
+
+With ``nu_pre == nu_post`` and the symmetric Jacobi smoother the
+V-cycle is a symmetric positive-definite operator for SPD ``A``, hence
+a valid CG preconditioner.  Levels are single-shard; distributed AMG
+(aggregating within shards) is future work — use
+:func:`~cask_tpu.solvers.precond.chebyshev_precond` or ``shard_ilu0``
+on meshes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cask_tpu.formats.convert import from_scipy, to_scipy
+from cask_tpu.formats.matrix import CSR
+from cask_tpu.ops.spmv import spmv
+
+
+def _strength_graph(a_sp, theta: float):
+    """Symmetric strength-of-connection mask: |a_ij| ≥ θ·√(a_ii·a_jj)."""
+    import scipy.sparse as sp
+
+    d = np.abs(a_sp.diagonal())
+    d = np.where(d == 0, 1.0, d)
+    coo = a_sp.tocoo()
+    scale = np.sqrt(d[coo.row] * d[coo.col])
+    keep = (np.abs(coo.data) >= theta * scale) & (coo.row != coo.col)
+    s = sp.csr_matrix(
+        (np.ones(int(keep.sum())), (coo.row[keep], coo.col[keep])),
+        shape=a_sp.shape)
+    return s.maximum(s.T).tocsr()
+
+
+def _aggregate(strength) -> np.ndarray:
+    """Greedy aggregation over the strength graph (Vaněk pass 1+2+3).
+
+    Returns ``agg[i]`` = aggregate id of node ``i`` (every node is
+    assigned; isolated nodes become singletons).
+    """
+    n = strength.shape[0]
+    indptr, indices = strength.indptr, strength.indices
+    agg = np.full(n, -1, dtype=np.int64)
+    next_id = 0
+    # pass 1: roots whose strong neighborhood is fully unaggregated
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        if (agg[nbrs] == -1).all():
+            agg[i] = next_id
+            agg[nbrs] = next_id
+            next_id += 1
+    # pass 2: attach leftovers to any aggregated strong neighbor
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        hit = nbrs[agg[nbrs] != -1]
+        if hit.size:
+            agg[i] = agg[hit[0]]
+    # pass 3: remaining isolated nodes become singletons
+    for i in range(n):
+        if agg[i] == -1:
+            agg[i] = next_id
+            next_id += 1
+    return agg
+
+
+@dataclasses.dataclass(frozen=True)
+class AmgLevel:
+    a: CSR  # level operator (device)
+    p: CSR  # prolongator (n_fine × n_coarse, device)
+    r: CSR  # restriction = Pᵀ (device)
+    dinv: jax.Array  # 1/diag(a) for Jacobi smoothing (device)
+
+
+@dataclasses.dataclass(frozen=True)
+class AmgPrecond:
+    """Callable ``r → V-cycle(r) ≈ A⁻¹r``; pass as ``M=`` to the solvers."""
+
+    levels: List[AmgLevel]
+    coarse_inv: jax.Array  # dense inverse of the coarsest operator
+    omega: float
+    nu_pre: int
+    nu_post: int
+
+    @property
+    def level_sizes(self) -> List[int]:
+        return [lv.a.shape[0] for lv in self.levels] + [self.coarse_inv.shape[0]]
+
+    def _cycle(self, b, lvl: int):
+        if lvl == len(self.levels):
+            return self.coarse_inv @ b
+        level = self.levels[lvl]
+        w = self.omega
+        x = w * level.dinv * b  # first sweep from x = 0
+        for _ in range(self.nu_pre - 1):
+            x = x + w * level.dinv * (b - spmv(level.a, x))
+        resid = b - spmv(level.a, x)
+        xc = self._cycle(spmv(level.r, resid), lvl + 1)
+        x = x + spmv(level.p, xc)
+        for _ in range(self.nu_post):
+            x = x + w * level.dinv * (b - spmv(level.a, x))
+        return x
+
+    def apply(self, r):
+        return self._cycle(r, 0)
+
+    def __call__(self, r):
+        return self.apply(r)
+
+
+def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 / 3.0,
+                             nu_pre: int = 1, nu_post: int = 1, smooth: bool = True,
+                             max_levels: int = 12, coarse_size: int = 256,
+                             dtype=None) -> AmgPrecond:
+    """Build a smoothed-aggregation AMG hierarchy for SPD ``a``.
+
+    ``theta`` is the strength threshold (smaller ⇒ coarser aggregates);
+    ``smooth=False`` gives plain (unsmoothed) aggregation — cheaper
+    setup, slower convergence.  ``dtype`` overrides the apply precision
+    (e.g. ``jnp.float32`` to run the V-cycle at MXU-native precision
+    inside an f64 outer solve via :func:`~cask_tpu.solvers.ir_solve`).
+    """
+    import scipy.sparse as sp
+
+    a_sp = to_scipy(a).tocsr().astype(np.float64)
+    levels: List[AmgLevel] = []
+
+    def put(mat_sp):
+        m = from_scipy(mat_sp.tocsr(), format="csr")
+        if dtype is not None:
+            m = m.astype(dtype)
+        return m.device_put()
+
+    while a_sp.shape[0] > coarse_size and len(levels) < max_levels:
+        strength = _strength_graph(a_sp, theta)
+        agg = _aggregate(strength)
+        n_agg = int(agg.max()) + 1
+        if n_agg >= a_sp.shape[0]:  # no coarsening possible (e.g. diagonal)
+            break
+        n = a_sp.shape[0]
+        tent = sp.csr_matrix(
+            (np.ones(n), (np.arange(n), agg)), shape=(n, n_agg))
+        if smooth:
+            dvals = a_sp.diagonal()
+            dinv_h = np.where(dvals == 0, 0.0, 1.0 / np.where(dvals == 0, 1.0, dvals))
+            da = sp.diags(dinv_h) @ a_sp
+            # spectral-radius upper bound for the smoothing weight
+            rho = float(abs(da).sum(axis=1).max())
+            prol = (tent - (4.0 / 3.0 / rho) * (da @ tent)).tocsr()
+        else:
+            prol = tent
+        a_coarse = (prol.T @ a_sp @ prol).tocsr()
+        a_coarse.sum_duplicates()
+
+        dvals = a_sp.diagonal()
+        dinv = np.where(dvals == 0, 0.0, 1.0 / np.where(dvals == 0, 1.0, dvals))
+        apply_dtype = np.dtype(dtype) if dtype is not None else a_sp.dtype
+        levels.append(AmgLevel(
+            a=put(a_sp), p=put(prol), r=put(prol.T.tocsr()),
+            dinv=jnp.asarray(dinv.astype(apply_dtype)),
+        ))
+        a_sp = a_coarse
+
+    coarse = np.linalg.inv(a_sp.toarray())
+    if dtype is not None:
+        coarse = coarse.astype(np.dtype(dtype))
+    return AmgPrecond(levels=levels, coarse_inv=jnp.asarray(coarse),
+                      omega=omega, nu_pre=nu_pre, nu_post=nu_post)

@@ -376,3 +376,88 @@ class TestIterativeRefinement:
 
         with pytest.raises(ValueError):
             ir_solve(lambda v: v, np.ones(4))
+
+
+class TestAmg:
+    def test_iteration_count_scales_flat(self):
+        from cask_tpu.solvers import cg, smoothed_aggregation_amg
+
+        iters = {}
+        for side in (24, 48):
+            a = stencil_2d(side)
+            M = smoothed_aggregation_amg(a)
+            b = np.random.default_rng(0).standard_normal(a.shape[0])
+            res = cg(a.device_put(), b, tol=1e-10, maxiter=2000, M=M)
+            assert bool(res.converged)
+            relres = np.linalg.norm(
+                to_scipy(a) @ np.asarray(res.x) - b) / np.linalg.norm(b)
+            assert relres < 1e-9
+            iters[side] = int(res.iterations)
+        # 4x unknowns: AMG iterations grow by at most a few (plain CG ~doubles)
+        assert iters[48] <= iters[24] + 8
+        assert iters[48] < 40
+
+    def test_hierarchy_coarsens(self):
+        from cask_tpu.solvers import smoothed_aggregation_amg
+
+        a = stencil_2d(40)
+        M = smoothed_aggregation_amg(a, coarse_size=100)
+        sizes = M.level_sizes
+        assert sizes[0] == a.shape[0]
+        assert all(s2 < s1 for s1, s2 in zip(sizes, sizes[1:]))
+        assert sizes[-1] <= 100
+
+    def test_symmetric_operator(self):
+        # V-cycle with nu_pre == nu_post is symmetric: r1'M(r2) == r2'M(r1)
+        from cask_tpu.solvers import smoothed_aggregation_amg
+
+        a = stencil_2d(16)
+        M = smoothed_aggregation_amg(a)
+        rng = np.random.default_rng(1)
+        r1 = rng.standard_normal(a.shape[0])
+        r2 = rng.standard_normal(a.shape[0])
+        lhs = float(np.dot(r1, np.asarray(M(r2))))
+        rhs = float(np.dot(r2, np.asarray(M(r1))))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+    def test_unsmoothed_aggregation_still_works(self):
+        from cask_tpu.solvers import cg, smoothed_aggregation_amg
+
+        a = stencil_2d(24)
+        M = smoothed_aggregation_amg(a, smooth=False)
+        b = np.random.default_rng(2).standard_normal(a.shape[0])
+        res = cg(a.device_put(), b, tol=1e-9, maxiter=2000, M=M)
+        assert bool(res.converged)
+
+    def test_jittable_inside_solver(self):
+        import jax
+        import jax.numpy as jnp
+
+        from cask_tpu.solvers import cg, smoothed_aggregation_amg
+
+        a = stencil_2d(20)
+        M = smoothed_aggregation_amg(a)
+        b = np.random.default_rng(3).standard_normal(a.shape[0])
+
+        @jax.jit
+        def solve(rhs):
+            return cg(a.device_put(), rhs, tol=1e-9, maxiter=500, M=M).x
+
+        x = solve(jnp.asarray(b))
+        np.testing.assert_allclose(to_scipy(a) @ np.asarray(x), b,
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_f32_vcycle_in_f64_ir(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.solvers import ir_solve, smoothed_aggregation_amg
+
+        a = stencil_2d(24)
+        M = smoothed_aggregation_amg(a, dtype=jnp.float32)
+        b = np.random.default_rng(4).standard_normal(a.shape[0])
+        res = ir_solve(a.device_put(), b, work_dtype=jnp.float32,
+                       tol=1e-12, M=M, inner_maxiter=200)
+        assert bool(res.converged)
+        relres = np.linalg.norm(
+            to_scipy(a) @ np.asarray(res.x) - b) / np.linalg.norm(b)
+        assert relres < 1e-12
