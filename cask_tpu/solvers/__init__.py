@@ -3,22 +3,27 @@
 from cask_tpu.solvers.krylov import (  # noqa: F401
     SolveResult,
     bicgstab,
+    block_cg,
     cg,
     cgls,
     chebyshev,
     gmres,
     ir_solve,
     minres,
+    pipelined_cg,
 )
 from cask_tpu.solvers.amg import (  # noqa: F401
     AmgPrecond,
     smoothed_aggregation_amg,
 )
 from cask_tpu.solvers.precond import (  # noqa: F401
+    IC0Factors,
     block_jacobi,
     chebyshev_precond,
     estimate_lmax,
+    ic0,
     jacobi,
     lanczos_extremal,
     shard_ilu0,
+    ssor,
 )

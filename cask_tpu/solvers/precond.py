@@ -82,6 +82,114 @@ def block_jacobi(a: CSR, block: int = 64):
     return apply
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class IC0Factors:
+    """IC(0) factor ``L_c`` with ``A ≈ L_c L_cᵀ`` plus cached solve plans."""
+
+    l: CSR  # lower-triangular Cholesky factor (diag included)
+    _lower_plan: object
+    _upper_plan: object
+    _lower_data: np.ndarray
+    _upper_data: np.ndarray
+
+    def apply(self, b):
+        """Preconditioner solve ``x = L_c⁻ᵀ L_c⁻¹ b`` (jittable, symmetric)."""
+        y = self._lower_plan.solve(self._lower_data, b)
+        return self._upper_plan.solve(self._upper_data, y)
+
+
+def ic0(a: CSR) -> IC0Factors:
+    """Incomplete Cholesky IC(0) for SPD ``a`` with a symmetric pattern.
+
+    Built through the algebraic identity that ILU(0) on a symmetric
+    matrix/pattern yields ``U = D Lᵀ``, hence ``L_c = L D^{1/2}``
+    satisfies ``A ≈ L_c L_cᵀ`` on A's pattern (cask analog: the classic
+    CG-preconditioner pairing for the R7 solver path).  Unlike raw
+    ILU(0) the resulting ``apply`` is a *symmetric* operator, the form
+    CG and MINRES actually require of ``M``; it reuses the
+    level-scheduled trisolve plans, so the device program is identical
+    in cost to the ILU(0) apply.
+
+    Raises if a pivot is nonpositive (matrix not SPD-compatible on its
+    own pattern) — fall back to :func:`cask_tpu.ops.ilu.ilu0` then.
+    """
+    from cask_tpu.formats.convert import from_scipy, to_scipy
+    from cask_tpu.ops.ilu import ilu0
+    from cask_tpu.ops.trisolve import trisolve_plan
+
+    f = ilu0(a)
+    low, up = f.split()  # L has an explicit unit diagonal; U carries D
+    d = extract_diagonal(up)
+    if np.any(d <= 0):
+        raise ValueError(
+            "IC(0): nonpositive pivot — matrix is not SPD on its own pattern")
+    sq = np.sqrt(d)
+    lc = CSR(
+        data=np.asarray(low.data) * sq[np.asarray(low.indices, dtype=np.int64)],
+        indices=low.indices,
+        indptr=low.indptr,
+        shape=low.shape,
+    )
+    lct = from_scipy(to_scipy(lc).T.tocsr())  # host planning only
+    lp = trisolve_plan(lc, lower=True, unit_diag=False)
+    upl = trisolve_plan(lct, lower=False, unit_diag=False)
+    return IC0Factors(l=lc, _lower_plan=lp, _upper_plan=upl,
+                      _lower_data=np.asarray(lc.data),
+                      _upper_data=np.asarray(lct.data))
+
+
+def ssor(a: CSR, omega: float = 1.0):
+    """SSOR preconditioner ``M = (D+ωL) D⁻¹ (D+ωU) / (ω(2−ω))``.
+
+    Factorization-free (uses A's own triangles, so it never breaks down
+    where ILU can), symmetric for symmetric A, and one knob: ω ∈ (0, 2),
+    ω = 1 giving symmetric Gauss–Seidel.  The apply is two
+    level-scheduled triangular sweeps plus a diagonal scale — the same
+    device program shape as the ILU(0)/IC(0) applies, without the host
+    factorization cost (useful when the matrix values change every
+    solve but the pattern is fixed).
+    """
+    if not 0.0 < omega < 2.0:
+        raise ValueError("SSOR requires 0 < omega < 2")
+    from cask_tpu.formats.convert import coo_from_arrays, coo_to_csr
+    from cask_tpu.ops.trisolve import trisolve_plan
+
+    indptr = np.asarray(a.indptr, dtype=np.int64)
+    indices = np.asarray(a.indices, dtype=np.int64)
+    data = np.asarray(a.data)
+    n = a.shape[0]
+    d = extract_diagonal(a)
+    if np.any(d == 0):
+        raise ValueError("SSOR requires a nonzero diagonal")
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    diag_idx = np.arange(n, dtype=np.int64)
+
+    def tri(strict_mask):
+        r = np.concatenate([rows[strict_mask], diag_idx])
+        c = np.concatenate([indices[strict_mask], diag_idx])
+        v = np.concatenate([omega * data[strict_mask], d])
+        return coo_to_csr(coo_from_arrays(v, r, c, a.shape), sum_duplicates=False)
+
+    low = tri(indices < rows)
+    up = tri(indices > rows)
+    lowplan = trisolve_plan(low, lower=True, unit_diag=False)
+    upplan = trisolve_plan(up, lower=False, unit_diag=False)
+    low_data = np.asarray(low.data)
+    up_data = np.asarray(up.data)
+    dj = jnp.asarray(d)
+    scale = omega * (2.0 - omega)
+
+    def apply(r):
+        y = lowplan.solve(low_data, r)
+        y = y * dj if y.ndim == 1 else y * dj[:, None]
+        return scale * upplan.solve(up_data, y)
+
+    return apply
+
+
 def _stack_tri_plans(plans, datas):
     """Pad per-shard :class:`TriSolvePlan`s to common shapes and stack.
 

@@ -461,3 +461,198 @@ class TestAmg:
         relres = np.linalg.norm(
             to_scipy(a) @ np.asarray(res.x) - b) / np.linalg.norm(b)
         assert relres < 1e-12
+
+
+class TestBlockCG:
+    def test_multi_rhs_matches_dense_solve(self):
+        from cask_tpu.solvers import block_cg
+
+        a = _spd()
+        rng = np.random.default_rng(10)
+        B = rng.standard_normal((a.shape[0], 4))
+        res = block_cg(a, B, tol=1e-10, maxiter=500)
+        assert bool(res.converged)
+        x_ref = np.linalg.solve(to_scipy(a).toarray(), B)
+        np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-7)
+
+    def test_fewer_iterations_than_single_cg(self):
+        # shared block Krylov space: s coupled RHS converge in fewer
+        # iterations than the worst single solve
+        from cask_tpu.solvers import block_cg, cg
+
+        a = _spd()
+        rng = np.random.default_rng(11)
+        B = rng.standard_normal((a.shape[0], 6))
+        blk = block_cg(a, B, tol=1e-8, maxiter=500)
+        single = cg(a, B[:, 0], tol=1e-8, maxiter=500)
+        assert bool(blk.converged)
+        assert int(blk.iterations) <= int(single.iterations)
+
+    def test_preconditioned_block(self):
+        from cask_tpu.solvers import block_cg, jacobi
+
+        a = stencil_2d(18)  # SPD (banded(spd=True) is only diagonally dominant)
+        rng = np.random.default_rng(12)
+        B = rng.standard_normal((a.shape[0], 3))
+        res = block_cg(a, B, tol=1e-9, maxiter=800, M=jacobi(a))
+        assert bool(res.converged)
+        np.testing.assert_allclose(
+            to_scipy(a) @ np.asarray(res.x), B, rtol=1e-5, atol=1e-6)
+
+    def test_rejects_vector_rhs(self):
+        from cask_tpu.solvers import block_cg
+
+        a = _spd()
+        with pytest.raises(ValueError):
+            block_cg(a, np.ones(a.shape[0]))
+
+
+class TestPipelinedCG:
+    def test_matches_cg_solution(self):
+        from cask_tpu.solvers import cg, pipelined_cg
+
+        a = _spd()
+        rng = np.random.default_rng(20)
+        b = rng.standard_normal(a.shape[0])
+        pipe = pipelined_cg(a, b, tol=1e-10, maxiter=500)
+        ref = cg(a, b, tol=1e-10, maxiter=500)
+        assert bool(pipe.converged)
+        # same Krylov space in exact arithmetic: iteration counts agree
+        # to within a couple of steps of drift
+        assert abs(int(pipe.iterations) - int(ref.iterations)) <= 5
+        x_ref = np.linalg.solve(to_scipy(a).toarray(), b)
+        np.testing.assert_allclose(np.asarray(pipe.x), x_ref, rtol=1e-6, atol=1e-8)
+
+    def test_preconditioned(self):
+        from cask_tpu.ops.ilu import ilu0
+        from cask_tpu.solvers import cg, pipelined_cg
+
+        a = _spd()
+        rng = np.random.default_rng(21)
+        b = rng.standard_normal(a.shape[0])
+        f = ilu0(a, use_native=False)
+        pre = pipelined_cg(a, b, tol=1e-9, maxiter=500, M=f.apply)
+        plain = pipelined_cg(a, b, tol=1e-9, maxiter=500)
+        assert bool(pre.converged)
+        assert int(pre.iterations) < int(plain.iterations)
+
+    def test_jittable(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.solvers import pipelined_cg
+
+        a = _spd().device_put()
+        b = np.random.default_rng(22).standard_normal(a.shape[0])
+
+        @jax.jit
+        def solve(rhs):
+            return pipelined_cg(a, rhs, tol=1e-8, maxiter=400).x
+
+        x = solve(jnp.asarray(b))
+        np.testing.assert_allclose(to_scipy(a) @ np.asarray(x), b,
+                                   rtol=1e-6, atol=1e-7)
+
+
+class TestIC0:
+    def test_apply_equals_ilu0_apply(self):
+        # symmetric pattern + SPD ⇒ LU = L·(D Lᵀ) = L_c L_cᵀ: same M
+        from cask_tpu.ops.ilu import ilu0
+        from cask_tpu.solvers import ic0
+
+        a = _spd()
+        rng = np.random.default_rng(30)
+        r = rng.standard_normal(a.shape[0])
+        f_ic = ic0(a)
+        f_lu = ilu0(a, use_native=False)
+        np.testing.assert_allclose(np.asarray(f_ic.apply(r)),
+                                   np.asarray(f_lu.apply(r)),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_apply_is_symmetric(self):
+        from cask_tpu.solvers import ic0
+
+        a = _spd()
+        f = ic0(a)
+        rng = np.random.default_rng(31)
+        u = rng.standard_normal(a.shape[0])
+        v = rng.standard_normal(a.shape[0])
+        lhs = float(np.dot(u, np.asarray(f.apply(v))))
+        rhs = float(np.dot(np.asarray(f.apply(u)), v))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+    def test_cg_preconditioning_reduces_iterations(self):
+        from cask_tpu.solvers import cg, ic0
+
+        a = stencil_2d(16)
+        rng = np.random.default_rng(32)
+        b = rng.standard_normal(a.shape[0])
+        plain = cg(a, b, tol=1e-8, maxiter=500)
+        pre = cg(a, b, tol=1e-8, maxiter=500, M=ic0(a).apply)
+        assert bool(pre.converged)
+        assert int(pre.iterations) < int(plain.iterations)
+
+    def test_rejects_indefinite(self):
+        from cask_tpu.formats.convert import from_scipy
+        from cask_tpu.solvers import ic0
+        import scipy.sparse as sp
+
+        a = from_scipy(sp.csr_matrix(np.diag([1.0, -2.0, 3.0])))
+        with pytest.raises(ValueError):
+            ic0(a)
+
+    def test_multi_rhs_apply(self):
+        from cask_tpu.solvers import ic0
+
+        a = _spd()
+        f = ic0(a)
+        R = np.random.default_rng(33).standard_normal((a.shape[0], 3))
+        out = np.asarray(f.apply(R))
+        for j in range(3):
+            np.testing.assert_allclose(out[:, j], np.asarray(f.apply(R[:, j])),
+                                       rtol=1e-12)
+
+
+class TestSSOR:
+    def test_cg_preconditioning_reduces_iterations(self):
+        from cask_tpu.solvers import cg, ssor
+
+        a = stencil_2d(16)
+        rng = np.random.default_rng(40)
+        b = rng.standard_normal(a.shape[0])
+        plain = cg(a, b, tol=1e-8, maxiter=800)
+        pre = cg(a, b, tol=1e-8, maxiter=800, M=ssor(a))
+        assert bool(pre.converged)
+        assert int(pre.iterations) < int(plain.iterations)
+
+    def test_apply_is_symmetric_for_symmetric_a(self):
+        from cask_tpu.solvers import ssor
+
+        a = _spd()
+        M = ssor(a, omega=1.3)
+        rng = np.random.default_rng(41)
+        u = rng.standard_normal(a.shape[0])
+        v = rng.standard_normal(a.shape[0])
+        lhs = float(np.dot(u, np.asarray(M(v))))
+        rhs = float(np.dot(np.asarray(M(u)), v))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+    def test_apply_matches_dense_formula(self):
+        from cask_tpu.solvers import ssor
+
+        a = _spd()
+        omega = 1.2
+        ad = to_scipy(a).toarray()
+        D = np.diag(np.diag(ad))
+        L = np.tril(ad, -1)
+        U = np.triu(ad, 1)
+        m = (D + omega * L) @ np.linalg.inv(D) @ (D + omega * U) / (omega * (2 - omega))
+        rng = np.random.default_rng(42)
+        r = rng.standard_normal(a.shape[0])
+        np.testing.assert_allclose(np.asarray(ssor(a, omega=omega)(r)),
+                                   np.linalg.solve(m, r), rtol=1e-9, atol=1e-11)
+
+    def test_omega_validation(self):
+        from cask_tpu.solvers import ssor
+
+        with pytest.raises(ValueError):
+            ssor(_spd(), omega=2.0)
