@@ -12,6 +12,10 @@ from cask_tpu.solvers.krylov import (  # noqa: F401
     minres,
     pipelined_cg,
 )
+from cask_tpu.solvers.eig import (  # noqa: F401
+    EigResult,
+    lobpcg,
+)
 from cask_tpu.solvers.amg import (  # noqa: F401
     AmgPrecond,
     smoothed_aggregation_amg,
