@@ -1,0 +1,56 @@
+"""Distributed solver loops on the fake 8-device mesh.
+
+The device-resident Krylov loops composed with the halo-exchange SpMV:
+pipelined CG (the solver whose recurrences exist to overlap the global
+``psum`` with the halo exchange) and block CG (whose SpMM amortizes the
+matrix stream across RHS — the multi-chip SpMM path)."""
+
+import numpy as np
+import pytest
+
+from cask_tpu.formats.convert import to_scipy
+from cask_tpu.formats.generate import stencil_2d
+from cask_tpu.parallel import DistSpmv, partition_dia, row_mesh
+from cask_tpu.solvers import block_cg, cg, pipelined_cg
+
+
+def _dist_op(p):
+    a = stencil_2d(20)  # 400 rows, SPD
+    plan = partition_dia(a, p)
+    return a, DistSpmv(plan, row_mesh(p))
+
+
+@pytest.mark.parametrize("p", [2, 8])
+class TestDistPipelinedCG:
+    def test_matches_dense_solve(self, p):
+        a, op = _dist_op(p)
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(a.shape[0])
+        bp = op.padded(b)
+        res = pipelined_cg(op.padded_op, bp, tol=1e-10, maxiter=600)
+        assert bool(res.converged)
+        x = np.asarray(res.x)[: a.shape[0]]
+        np.testing.assert_allclose(to_scipy(a) @ x, b, rtol=1e-7, atol=1e-8)
+
+    def test_iteration_parity_with_cg(self, p):
+        # same Krylov space as standard CG up to rounding drift
+        a, op = _dist_op(p)
+        rng = np.random.default_rng(1)
+        bp = op.padded(rng.standard_normal(a.shape[0]))
+        pipe = pipelined_cg(op.padded_op, bp, tol=1e-9, maxiter=600)
+        ref = cg(op.padded_op, bp, tol=1e-9, maxiter=600)
+        assert abs(int(pipe.iterations) - int(ref.iterations)) <= 5
+
+
+@pytest.mark.parametrize("p", [2, 8])
+class TestDistBlockCG:
+    def test_multi_rhs_matches_dense_solve(self, p):
+        a, op = _dist_op(p)
+        rng = np.random.default_rng(2)
+        B = rng.standard_normal((a.shape[0], 4))
+        Bp = op.padded(B)
+        res = block_cg(op.padded_op, Bp, tol=1e-10, maxiter=600)
+        assert bool(res.converged)
+        X = np.asarray(res.x)[: a.shape[0]]
+        x_ref = np.linalg.solve(to_scipy(a).toarray(), B)
+        np.testing.assert_allclose(X, x_ref, rtol=1e-6, atol=1e-7)
