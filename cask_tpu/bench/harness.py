@@ -191,35 +191,44 @@ def bench_solve(side: int = 512, *, dtype=np.float32, out: TextIO = sys.stdout) 
     from cask_tpu.ops.dia import DiaOperator
     from cask_tpu.solvers import cg
 
+    from cask_tpu.solvers import pipelined_cg
+
     m = side * side
     dia = stencil2d_dia_device(side, dtype=dtype)
     op = DiaOperator(dia)
     b = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(0), (m,), dtype))()
     bp = op.to_padded(b)
-    f = jax.jit(lambda bp, k: cg(op, bp, tol=0.0, maxiter=k).iterations)
 
-    def run(k):
-        t0 = _time.perf_counter()
-        int(f(bp, jnp.asarray(k, jnp.int32)))
-        return _time.perf_counter() - t0
+    def per_iteration(solver):
+        f = jax.jit(lambda bp, k: solver(op, bp, tol=0.0, maxiter=k).iterations)
 
-    ks = (10, 200, 400, 600)
-    run(ks[0]); run(ks[-1])
-    walls = {}
-    for _ in range(2):
-        for k in ks:
-            walls[k] = min(walls.get(k, float("inf")), run(k))
-    slopes = sorted(
-        (walls[b2] - walls[a2]) / (b2 - a2) for a2 in ks for b2 in ks if b2 > a2
-    )
-    per_iter = slopes[len(slopes) // 2]
-    rec = {
-        "op": "pcg_per_iteration",
-        "matrix": f"stencil5_{side}x{side}",
-        "rows": m,
-        "operator_mode": op.mode,
-        "us_per_iteration": round(per_iter * 1e6, 2),
-        "iterations_per_s": round(1.0 / per_iter, 1),
-    }
-    print(json.dumps(rec), file=out, flush=True)
+        def run(k):
+            t0 = _time.perf_counter()
+            int(f(bp, jnp.asarray(k, jnp.int32)))
+            return _time.perf_counter() - t0
+
+        ks = (10, 200, 400, 600)
+        run(ks[0]); run(ks[-1])
+        walls = {}
+        for _ in range(2):
+            for k in ks:
+                walls[k] = min(walls.get(k, float("inf")), run(k))
+        slopes = sorted(
+            (walls[b2] - walls[a2]) / (b2 - a2) for a2 in ks for b2 in ks if b2 > a2
+        )
+        return slopes[len(slopes) // 2]
+
+    rec = None
+    for name, solver in (("cg", cg), ("pipelined_cg", pipelined_cg)):
+        per_iter = per_iteration(solver)
+        rec = {
+            "op": "pcg_per_iteration",
+            "solver": name,
+            "matrix": f"stencil5_{side}x{side}",
+            "rows": m,
+            "operator_mode": op.mode,
+            "us_per_iteration": round(per_iter * 1e6, 2),
+            "iterations_per_s": round(1.0 / per_iter, 1),
+        }
+        print(json.dumps(rec), file=out, flush=True)
     return rec
