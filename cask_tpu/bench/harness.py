@@ -179,7 +179,8 @@ def bench_overlap(side: int = 512, *, nshards: Optional[int] = None,
     return records
 
 
-def bench_solve(side: int = 512, *, dtype=np.float32, out: TextIO = sys.stdout) -> dict:
+def bench_solve(side: int = 512, *, dtype=np.float32,
+                out: TextIO = sys.stdout) -> "list[dict]":
     """Per-iteration CG cost on a Poisson system via the k-ladder
     protocol (the end-to-end solver metric; cask analog: the CG demo's
     wall numbers)."""
@@ -218,7 +219,7 @@ def bench_solve(side: int = 512, *, dtype=np.float32, out: TextIO = sys.stdout) 
         )
         return slopes[len(slopes) // 2]
 
-    rec = None
+    records = []
     for name, solver in (("cg", cg), ("pipelined_cg", pipelined_cg)):
         per_iter = per_iteration(solver)
         rec = {
@@ -230,5 +231,6 @@ def bench_solve(side: int = 512, *, dtype=np.float32, out: TextIO = sys.stdout) 
             "us_per_iteration": round(per_iter * 1e6, 2),
             "iterations_per_s": round(1.0 / per_iter, 1),
         }
+        records.append(rec)
         print(json.dumps(rec), file=out, flush=True)
-    return rec
+    return records

@@ -144,11 +144,14 @@ def lobpcg(a, x0, *, largest: bool = False, tol: float = 1e-6,
 
     st = jax.lax.while_loop(
         cond, body, (x0, ax0, zeros, zeros, theta0, jnp.int32(0)))
-    xb, axb, _, _, th, it = st
+    xb, _, _, _, th, it = st
     order = jnp.argsort(th)
     th = th[order]
     xb = xb[:, order]
-    axb = axb[:, order]
+    # axb inside the loop is reconstructed as linear combinations of A·S
+    # and accumulates round-off; reapply the operator once at exit so the
+    # reported residual is genuine (ADVICE r1).
+    axb = op(xb)
     rn = jnp.linalg.norm(_residual(xb, axb, th), axis=0)
     return EigResult(theta=th, x=xb, iterations=it,
                      residual_norm=jnp.max(rn),

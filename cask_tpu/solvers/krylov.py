@@ -206,8 +206,11 @@ def pipelined_cg(a, b, *, x0=None, tol: float = 1e-8, atol: float = 0.0,
         return (x, r, u, w, z, q, p, s, gamma, alpha, k + 1)
 
     st = jax.lax.while_loop(cond, body, st0)
-    x, r, k = st[0], st[1], st[10]
-    rn = jnp.linalg.norm(r)
+    x, k = st[0], st[10]
+    # The recurrence residual drifts from b - A·x over long runs; pay one
+    # SpMV outside the loop so the reported norm/converged flag reflect
+    # the *true* residual (ADVICE r1).
+    rn = jnp.linalg.norm(b - op(x))
     return SolveResult(x=x, iterations=k, residual_norm=rn, converged=rn <= target)
 
 

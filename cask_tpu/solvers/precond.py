@@ -9,6 +9,8 @@ blocks live within shards).
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,8 +83,6 @@ def block_jacobi(a: CSR, block: int = 64):
 
     return apply
 
-
-import dataclasses
 
 
 @dataclasses.dataclass(frozen=True)
