@@ -6,6 +6,7 @@ layer R5 + host runtime R6 (SURVEY.md §2).
 """
 
 from cask_tpu.ops.spmv import spmv  # noqa: F401
+from cask_tpu.ops.bdia import BdiaMatrix, bdia_plan  # noqa: F401
 from cask_tpu.ops.spmm import spmm  # noqa: F401
 from cask_tpu.ops.spgemm import spgemm, SpGEMMPlan  # noqa: F401
 from cask_tpu.ops.trisolve import trisolve, TriSolvePlan  # noqa: F401

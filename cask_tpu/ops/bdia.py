@@ -1,0 +1,333 @@
+"""Block-diagonal-packed (BDIA) SpMV — the fast BSR SpMV path.
+
+The scalar DIA format (:mod:`cask_tpu.ops.dia`) is the per-chip
+speed-of-light SpMV, but dof-expanded FEM/block matrices defeat it: a
+``b×b``-blocked band expands to ``(2b−1)`` scalar diagonals per block
+offset, each only ``b/(2b−1)`` dense (57 % for b=4), so ~43 % of the
+streamed bytes are structural-zero fill.  BDIA removes the fill with a
+block-aware de-interleave — the TPU analog of cask's multi-pipe stream
+partitioning (SURVEY.md §2 R5), applied at dof granularity:
+
+- **x** is split by block *component*: ``x_c = x[c::bc]`` (length = block
+  columns), each an independent contiguous segment resident in VMEM —
+  the vector-cache role.
+- **y** likewise by block row component: ``y_r = y[r::br]``.
+- a block diagonal at block offset ``d`` contributes, for every ``(r,c)``
+  element position, one **full-density** diagonal over the block index:
+  ``y_r[i] += A_{d}[i][r,c] · x_c[i+d]``.
+
+Every term is a shifted elementwise FMA exactly like scalar DIA — zero
+gathers, zero fill: the value stream is exactly ``nnz`` entries (stored
+block entries).  The Pallas kernel (:mod:`cask_tpu.ops.pallas.bdia_kernels`)
+streams values tile-by-tile with x resident; blocks on sparse block
+diagonals spill to a scalar COO remainder (HYB discipline, same as DIA).
+
+Reference parity note: the empty-mount reference (SURVEY.md PROVENANCE)
+is specified by BASELINE.json config 2 / north star — "tuned BSR SpMV"
+— which this kernel realizes; cask's own analog is the SpMV architecture
+family (SURVEY.md §2 R2/R5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cask_tpu.formats.matrix import BSR, CSR
+
+_LANE = 128
+_TS_CHOICES = (64, 32, 16, 8)  # value-tile sublanes (largest with low pad waste)
+_MAX_PAIRS = 80  # unrolled (c, d) FMA terms in the Pallas kernel
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_ts(nbr: int) -> int:
+    """Largest tile that keeps block-row padding waste ≤ 8 %."""
+    for ts in _TS_CHOICES:
+        pad = _round_up(max(nbr, 1), ts * _LANE)
+        if (pad - nbr) / max(nbr, 1) <= 0.08:
+            return ts
+    return _TS_CHOICES[-1]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BdiaMatrix:
+    """Block-diagonal-packed matrix plus scalar COO remainder.
+
+    ``vals[r, t, j, s, l]`` is the ``(r, c)`` element of the block at
+    block row ``i = (t·TS + s)·128 + l`` on block offset ``d``, where
+    ``j = dpos·bc + c`` enumerates the static ``pairs`` (block offset ×
+    column component).  Values stream tile-contiguously per grid step.
+    """
+
+    vals: jax.Array  # (br, T, D', TS, 128)
+    rem_data: jax.Array  # scalar COO remainder (may be size 0)
+    rem_row: jax.Array
+    rem_col: jax.Array
+    block_offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    blocksize: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    ts: int = dataclasses.field(metadata=dict(static=True))
+
+    # -- geometry ---------------------------------------------------------
+
+    @property
+    def nbr(self) -> int:
+        br = self.blocksize[0]
+        return -(-self.shape[0] // br)
+
+    @property
+    def nbc(self) -> int:
+        bc = self.blocksize[1]
+        return -(-self.shape[1] // bc)
+
+    @property
+    def nb_pad(self) -> int:
+        return int(self.vals.shape[1]) * self.ts * _LANE
+
+    @property
+    def n_tiles(self) -> int:
+        return int(self.vals.shape[1])
+
+    @property
+    def npairs(self) -> int:
+        return int(self.vals.shape[2])
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def lo(self) -> int:
+        return -min(min(self.block_offsets), 0)
+
+    @property
+    def hi(self) -> int:
+        return max(max(self.block_offsets), 0)
+
+    @property
+    def seg_rows(self) -> int:
+        """Rows (of 128 lanes) per x component segment: the whole padded
+        block-column range plus the diagonal-span slack the windowed
+        reads touch."""
+        need_cols = self.lo + self.nbc + self.hi  # lo pad + x_c + hi reads
+        need_tiles = self.nb_pad // _LANE + (self.lo + self.hi) // _LANE + 2
+        return max(_round_up(need_cols, _LANE) // _LANE + 1, need_tiles)
+
+    @property
+    def pairs(self) -> Tuple[Tuple[int, int], ...]:
+        """Static (c, d) per vals slot j — the unrolled FMA schedule."""
+        bc = self.blocksize[1]
+        return tuple(
+            (c, d) for d in self.block_offsets for c in range(bc)
+        )
+
+    @property
+    def traffic_bytes(self) -> int:
+        db = jnp.dtype(self.vals.dtype).itemsize
+        return int(self.vals.size * db + self.rem_data.shape[0] * (db + 8))
+
+    def device_put(self, device=None) -> "BdiaMatrix":
+        return jax.tree.map(lambda x: jax.device_put(x, device), self)
+
+    def astype(self, dtype) -> "BdiaMatrix":
+        return dataclasses.replace(
+            self, vals=self.vals.astype(dtype), rem_data=self.rem_data.astype(dtype)
+        )
+
+    # -- layout -----------------------------------------------------------
+
+    def to_bdia(self, x):
+        """(n,) vector → the (bc·SEG, 128) component-deinterleaved layout."""
+        bc = self.blocksize[1]
+        n = self.shape[1]
+        seg = self.seg_rows
+        xp = jnp.zeros((self.nbc * bc,), x.dtype).at[:n].set(x)
+        xc = xp.reshape(self.nbc, bc).T  # (bc, nbc)
+        x2 = jnp.zeros((bc, seg * _LANE), x.dtype)
+        x2 = x2.at[:, self.lo : self.lo + self.nbc].set(xc)
+        return x2.reshape(bc * seg, _LANE)
+
+    def from_bdia(self, y3):
+        """(br, T·TS, 128) kernel output → (m,) natural-order vector."""
+        br = self.blocksize[0]
+        m = self.shape[0]
+        y = y3.reshape(br, -1)[:, : self.nbr]  # (br, nbr)
+        return y.T.reshape(-1)[:m]
+
+    # -- compute ----------------------------------------------------------
+
+    def spmv(self, x, *, method: str = "auto"):
+        if method in ("auto", "pallas") and bdia_pallas_ok(self):
+            from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas
+
+            from cask_tpu.utils.platform import on_tpu
+
+            if method == "pallas" or on_tpu():
+                y = self.from_bdia(bdia_spmv_pallas(self, self.to_bdia(x)))
+                if self.rem_data.shape[0]:
+                    y = y + self._remainder_spmv(x)
+                return y
+        return self._spmv_xla(x)
+
+    def _spmv_xla(self, x):
+        """Same math fully in XLA (tests / non-TPU backends)."""
+        br, bc = self.blocksize
+        m, n = self.shape
+        lo, hi = self.lo, self.hi
+        xc = jnp.zeros((self.nbc * bc,), x.dtype).at[:n].set(x).reshape(self.nbc, bc).T
+        # width covers every slice start (tall matrices: nbr > nbc)
+        xp = jnp.zeros((bc, lo + max(self.nbc, self.nbr) + hi + 1), x.dtype)
+        xp = xp.at[:, lo : lo + self.nbc].set(xc)
+        acc_t = jnp.promote_types(self.vals.dtype, x.dtype)
+        if jnp.bfloat16 in (self.vals.dtype, x.dtype):
+            acc_t = jnp.promote_types(acc_t, jnp.float32)
+        vflat = self.vals.reshape(br, self.n_tiles, self.npairs, -1)
+        vflat = jnp.moveaxis(vflat, 2, 1).reshape(br, self.npairs, -1)[..., : self.nbr]
+        y = jnp.zeros((br, self.nbr), dtype=acc_t)
+        for j, (c, d) in enumerate(self.pairs):
+            xs = jax.lax.dynamic_slice(xp, (c, lo + d), (1, self.nbr))[0]
+            y = y + vflat[:, j, :].astype(acc_t) * xs.astype(acc_t)
+        out = y.T.reshape(-1)[:m]
+        if self.rem_data.shape[0]:
+            out = out + self._remainder_spmv(x)
+        return out
+
+    def _remainder_spmv(self, x):
+        prod = self.rem_data * x[self.rem_col]
+        return jax.ops.segment_sum(prod, self.rem_row, num_segments=self.shape[0])
+
+
+def bdia_pallas_ok(a: BdiaMatrix) -> bool:
+    from cask_tpu.ops.pallas.dia_kernels import _X_VMEM_BUDGET
+
+    if a.npairs > _MAX_PAIRS:
+        return False
+    db = jnp.dtype(a.vals.dtype).itemsize
+    bc = a.blocksize[1]
+    return bc * a.seg_rows * _LANE * db <= _X_VMEM_BUDGET
+
+
+def bdia_plan(a: Union[BSR, CSR], blocksize: Optional[Tuple[int, int]] = None,
+              *, min_density: float = 0.10, max_block_diags: int = 64) -> BdiaMatrix:
+    """Pack a block matrix's dense-enough block diagonals; spill the rest
+    to a scalar COO remainder (HYB discipline, like :func:`dia_plan`)."""
+    if isinstance(a, CSR):
+        if blocksize is None:
+            raise ValueError("bdia_plan on CSR needs an explicit blocksize")
+        from cask_tpu.formats.convert import csr_to_bsr
+
+        a = csr_to_bsr(a, blocksize)
+    br, bc = a.blocksize
+    m, n = a.shape
+    nbr, nbc = a.n_block_rows, a.n_block_cols
+    indptr = np.asarray(a.indptr, dtype=np.int64)
+    indices = np.asarray(a.indices, dtype=np.int64)
+    data = np.asarray(a.data)
+    ib = np.repeat(np.arange(nbr, dtype=np.int64), np.diff(indptr))
+    d = indices - ib
+
+    uniq, counts = np.unique(d, return_counts=True)
+    diag_len = np.minimum(np.minimum(nbr, nbc - uniq), np.minimum(nbc, nbr + uniq))
+    density = counts / np.maximum(diag_len, 1)
+    keep = density >= min_density
+    if keep.sum() > max_block_diags:
+        top = np.argsort(-counts)[:max_block_diags]
+        keep = np.zeros_like(keep)
+        keep[top] = True
+    kept = uniq[keep]
+    if len(kept) == 0:
+        kept = np.array([0], dtype=np.int64)
+    in_dia = np.isin(d, kept)
+
+    ts = _pick_ts(nbr)
+    nb_pad = _round_up(max(nbr, 1), ts * _LANE)
+    T = nb_pad // (ts * _LANE)
+    npairs = len(kept) * bc
+    vals = np.zeros((br, T, npairs, ts, _LANE), dtype=data.dtype)
+
+    kb = np.nonzero(in_dia)[0]
+    if kb.size:
+        i = ib[kb]
+        dpos = np.searchsorted(kept, d[kb])
+        t_idx = i // (ts * _LANE)
+        rem_i = i % (ts * _LANE)
+        s_idx = rem_i // _LANE
+        l_idx = rem_i % _LANE
+        c_rng = np.arange(bc)
+        vals[
+            :,
+            t_idx[:, None],
+            dpos[:, None] * bc + c_rng[None, :],
+            s_idx[:, None],
+            l_idx[:, None],
+        ] = data[kb].transpose(1, 0, 2)
+
+    # spill remainder blocks to scalar COO triples
+    rb = np.nonzero(~in_dia)[0]
+    if rb.size:
+        ri = ib[rb]
+        rj = indices[rb]
+        rr = (ri[:, None, None] * br + np.arange(br)[None, :, None])
+        rc = (rj[:, None, None] * bc + np.arange(bc)[None, None, :])
+        rr = np.broadcast_to(rr, (rb.size, br, bc)).ravel()
+        rc = np.broadcast_to(rc, (rb.size, br, bc)).ravel()
+        rv = data[rb].ravel()
+        inside = (rr < m) & (rc < n) & (rv != 0)
+        rem_data, rem_row, rem_col = rv[inside], rr[inside], rc[inside]
+    else:
+        rem_data = np.zeros((0,), data.dtype)
+        rem_row = np.zeros((0,), np.int32)
+        rem_col = np.zeros((0,), np.int32)
+
+    return BdiaMatrix(
+        vals=jnp.asarray(vals),
+        rem_data=jnp.asarray(rem_data),
+        rem_row=jnp.asarray(rem_row.astype(np.int32)),
+        rem_col=jnp.asarray(rem_col.astype(np.int32)),
+        block_offsets=tuple(int(o) for o in kept),
+        shape=(m, n),
+        blocksize=(br, bc),
+        ts=ts,
+    )
+
+
+def estimate_bdia_traffic(a: CSR, b: int) -> Optional[Tuple[float, float]]:
+    """Analytic tuner prefilter: (streamed entries, block fill fraction)
+    under a (b, b) BDIA split, or None when clearly unprofitable.
+
+    O(nnz) numpy; mirrors :func:`cask_tpu.ops.dia.estimate_dia_traffic`
+    but at block granularity (block presence deduplicated per block)."""
+    m, n = a.shape
+    nbr, nbc = -(-m // b), -(-n // b)
+    indptr = np.asarray(a.indptr, dtype=np.int64)
+    indices = np.asarray(a.indices, dtype=np.int64)
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+    keys = (rows // b) * nbc + (indices // b)
+    ukeys, kcounts = np.unique(keys, return_counts=True)
+    d = (ukeys % nbc) - (ukeys // nbc)
+    uniq, idx = np.unique(d, return_inverse=True)
+    counts = np.bincount(idx)  # blocks per block diagonal
+    scalar_per_diag = np.bincount(idx, weights=kcounts)  # true entries
+    diag_len = np.minimum(np.minimum(nbr, nbc - uniq), np.minimum(nbc, nbr + uniq))
+    density = counts / np.maximum(diag_len, 1)
+    keep = density >= 0.10
+    if keep.sum() > 64:
+        keep &= counts >= np.sort(counts[keep])[-64]
+    covered = scalar_per_diag[keep].sum() / max(a.nnz, 1)
+    if covered < 0.5 or not keep.any():
+        return None
+    streamed = float(keep.sum()) * b * b * nbr
+    rem = float(scalar_per_diag[~keep].sum())
+    fill = scalar_per_diag[keep].sum() / max(streamed, 1.0)
+    if fill < 0.25:  # block diagonals exist but blocks are mostly empty
+        return None
+    return streamed + rem * 3.0, float(fill)

@@ -69,10 +69,17 @@ class Variant:
                 return dev, lambda x: dev.spmv(x, method=method)
             return dev, lambda x: dev.spmm(x, method=method)
         if self.name.startswith("bsr_pallas:"):
+            b = int(self.name.split(":")[1])
+            if k is None:
+                # tuned BSR SpMV: the BDIA block-diagonal kernel (zero
+                # gathers, zero fill — BASELINE north star's letter)
+                from cask_tpu.ops.bdia import bdia_plan
+
+                plan = bdia_plan(a, (b, b)).device_put()
+                return plan, plan.spmv
             from cask_tpu.ops.pallas.bsr_kernels import BsrSpmmKernel
 
-            b = int(self.name.split(":")[1])
-            kern = BsrSpmmKernel.plan(csr_to_bsr(a, (b, b)), k=k or 1)
+            kern = BsrSpmmKernel.plan(csr_to_bsr(a, (b, b)), k=k)
             return kern, kern.__call__
         if self.name.startswith("lell:"):
             from cask_tpu.ops.pallas.lell_kernels import lell_plan_hyb
@@ -154,6 +161,14 @@ def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
         if include_pallas and fill >= 0.3 and k:
             est = stored * db + (stored / (b * b)) * 4 + stored * kp * db / b + m * kp * db
             out.append(Variant(f"bsr_pallas:{b}", est))
+        if fill >= 0.3 and k is None:
+            # tuned BSR SpMV via the BDIA block-diagonal kernel: streams
+            # the stored block entries once, x resident (like dia_pallas)
+            from cask_tpu.ops.bdia import estimate_bdia_traffic
+
+            bd = estimate_bdia_traffic(a, b)
+            if bd is not None and include_pallas:
+                out.append(Variant(f"bsr_pallas:{b}", bd[0] * db + 1.5 * xbytes))
 
     # diagonal split: streamed entries are k-independent
     from cask_tpu.ops.dia import estimate_dia_traffic

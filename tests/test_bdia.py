@@ -1,0 +1,142 @@
+"""BDIA (block-diagonal) SpMV: the tuned BSR SpMV path (BASELINE config
+2 / north star).  scipy is ground truth; the Pallas kernel runs in
+interpret mode on CPU (SURVEY.md §4 simulation-mode analog)."""
+
+import numpy as np
+import pytest
+
+from cask_tpu.formats.convert import csr_to_bsr, to_scipy
+from cask_tpu.formats.generate import banded, fem_blocks, stencil_2d
+from cask_tpu.ops.bdia import (BdiaMatrix, bdia_pallas_ok, bdia_plan,
+                               estimate_bdia_traffic)
+from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas
+
+
+def _spmv_ref(a_csr, x):
+    return to_scipy(a_csr) @ x
+
+
+class TestPlan:
+    @pytest.mark.parametrize("dof", [2, 4, 8])
+    def test_fem_blocks_full_density(self, dof):
+        a = fem_blocks(9, dof=dof)
+        plan = bdia_plan(a, (dof, dof))
+        # stencil connectivity: 5 block diagonals, no remainder
+        assert len(plan.block_offsets) == 5
+        assert plan.rem_data.shape[0] == 0
+        assert plan.npairs == 5 * dof
+
+    def test_sparse_blockdiag_spills(self):
+        # one dense block diagonal + a handful of scattered blocks
+        a = fem_blocks(8, dof=2)
+        sp = to_scipy(a).tolil()
+        sp[0, 100] = 3.0
+        sp[40, 2] = -1.5
+        from cask_tpu.formats.convert import from_scipy
+
+        plan = bdia_plan(from_scipy(sp.tocsr()), (2, 2))
+        assert plan.rem_data.shape[0] > 0
+
+    def test_traffic_estimate(self):
+        a = fem_blocks(12, dof=4)
+        est = estimate_bdia_traffic(a, 4)
+        assert est is not None
+        streamed, fill = est
+        assert streamed >= a.nnz
+        assert 0.9 <= fill <= 1.0
+        # scalar power-law graph: no block-diagonal structure
+        from cask_tpu.formats.generate import power_law
+
+        assert estimate_bdia_traffic(power_law(400, seed=3), 4) is None
+
+
+class TestSpmvXla:
+    @pytest.mark.parametrize("dof", [2, 4])
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_fem_matches_scipy(self, dof, dtype):
+        a = fem_blocks(7, dof=dof, dtype=dtype)
+        plan = bdia_plan(a, (dof, dof))
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(a.shape[1]).astype(dtype)
+        y = plan.spmv(x, method="xla")
+        rtol = 1e-12 if dtype == np.float64 else 1e-5
+        np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x), rtol=rtol, atol=rtol)
+
+    def test_remainder_path(self):
+        a = fem_blocks(8, dof=2)
+        sp = to_scipy(a).tolil()
+        sp[0, 100] = 3.0
+        sp[40, 2] = -1.5
+        from cask_tpu.formats.convert import from_scipy
+
+        a2 = from_scipy(sp.tocsr())
+        plan = bdia_plan(a2, (2, 2))
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(a2.shape[1])
+        y = plan.spmv(x, method="xla")
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a2) @ x, rtol=1e-12)
+
+    def test_scalar_band_as_blocks(self):
+        # a plain banded matrix blocked at 4: BDIA must still be exact
+        a = banded(257, 3, seed=5)
+        plan = bdia_plan(a, (4, 4))
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(a.shape[1])
+        y = plan.spmv(x, method="xla")
+        np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x), rtol=1e-12)
+
+    def test_ragged_edge(self):
+        # n not a multiple of the block: padding rows/cols are structural
+        a = stencil_2d(11)  # 121 rows, blocked at 4 -> ragged
+        plan = bdia_plan(a, (4, 4))
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(a.shape[1])
+        y = plan.spmv(x, method="xla")
+        np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x), rtol=1e-12)
+
+
+class TestSpmvPallas:
+    @pytest.mark.parametrize("dof", [2, 4, 8])
+    def test_matches_xla(self, dof):
+        a = fem_blocks(7, dof=dof, dtype=np.float32)
+        plan = bdia_plan(a, (dof, dof))
+        assert bdia_pallas_ok(plan)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(a.shape[1]).astype(np.float32)
+        y = plan.from_bdia(bdia_spmv_pallas(plan, plan.to_bdia(x)))
+        np.testing.assert_allclose(
+            np.asarray(y), _spmv_ref(a, x), rtol=2e-5, atol=2e-5
+        )
+
+    def test_layout_roundtrip(self):
+        a = fem_blocks(6, dof=4, dtype=np.float32)
+        plan = bdia_plan(a, (4, 4))
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal(a.shape[1]).astype(np.float32)
+        x2 = plan.to_bdia(x)
+        # component c, position i holds x[i*bc + c]
+        seg = plan.seg_rows
+        xr = np.asarray(x2).reshape(plan.blocksize[1], seg * 128)
+        got = xr[1, plan.lo + 3]
+        assert got == x[3 * 4 + 1]
+
+    def test_bf16_accumulates_f32(self):
+        a = fem_blocks(6, dof=4, dtype=np.float32)
+        plan = bdia_plan(a, (4, 4)).astype(np.dtype("bfloat16"))
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal(a.shape[1]).astype(np.float32)
+        import jax.numpy as jnp
+
+        y3 = bdia_spmv_pallas(plan, plan.to_bdia(jnp.asarray(x, jnp.bfloat16)))
+        assert y3.dtype == jnp.float32
+        y = plan.from_bdia(y3)
+        np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x), rtol=0.05, atol=0.1)
+
+    def test_auto_dispatch_on_cpu_uses_xla(self):
+        a = fem_blocks(5, dof=2)
+        plan = bdia_plan(a, (2, 2))
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal(a.shape[1])
+        np.testing.assert_allclose(
+            np.asarray(plan.spmv(x)), _spmv_ref(a, x), rtol=1e-12
+        )

@@ -35,6 +35,25 @@ class TestEnumerate:
         vs = enumerate_variants(a, signature(a), 32)
         assert any(v.name.startswith("bsr") for v in vs)
 
+    def test_fem_spmv_ranks_bdia_first(self):
+        # the north-star class: tuned BSR SpMV beats scalar DIA's
+        # block→scalar fill on dof-block matrices (VERDICT r1 item 1)
+        a = fem_blocks(23, dof=4)
+        vs = enumerate_variants(a, signature(a), None, include_pallas=True)
+        best = min(vs, key=lambda v: v.est_bytes)
+        assert best.name == "bsr_pallas:4"
+
+    def test_bsr_pallas_spmv_variant_correct(self):
+        from cask_tpu.tune.tuner import Variant
+
+        a = fem_blocks(9, dof=4)
+        dev, fn = Variant("bsr_pallas:4", 0.0).build(a, None)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(a.shape[1])
+        np.testing.assert_allclose(
+            np.asarray(fn(x)), to_scipy(a) @ x, rtol=1e-10, atol=1e-10
+        )
+
 
 class TestTune:
     def test_result_correct_and_cached(self, tmp_tuner_cache):
