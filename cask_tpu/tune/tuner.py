@@ -120,7 +120,8 @@ def _dtype_bytes(dt) -> int:
 
 
 def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
-                       include_pallas: bool = True) -> List[Variant]:
+                       include_pallas: bool = True,
+                       calib: Optional[dict] = None) -> List[Variant]:
     """Analytic HBM-traffic model per variant (the DSE performance-model
     analog, SURVEY.md §3.2) — ranks candidates before any compile.
 
@@ -185,19 +186,23 @@ def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
     # one-hot matmuls — no hardware gather needed; 11–30x the csr_xla
     # gather path on v5e, PERF.md).  It is *compute*-bound (~6k MXU MACs
     # + ~500 VPU ops per slot), so its "traffic" is modeled as
-    # time-equivalent bytes measured on v5e: t/slot · HBM_BW ≈ 440 B in
-    # fast (single-pass bf16) mode, ~650 B in split (near-f32) mode.
+    # time-equivalent bytes (t/slot · HBM_BW) read from the per-backend
+    # calibration record (tune.calibrate; seeds from v5e measurements
+    # until `cli calibrate` runs on the target generation).
     # (The LELL gather kernel stays un-enumerated: Mosaic's
     # tpu.dynamic_gather is single-vreg-deep on v5e.)
+    if calib is None:
+        from cask_tpu.tune.calibrate import poh_equiv_bytes
+
+        calib = poh_equiv_bytes()
     if include_pallas and k is None and db <= 4:
-        out.append(Variant("poh", nnz * 280.0 + xbytes))
-        out.append(Variant("poh:8192", nnz * 225.0 + xbytes))
-        out.append(Variant("poh_fast:8192", nnz * 220.0 + xbytes))
+        out.append(Variant("poh", nnz * calib["poh:2048"] + xbytes))
+        out.append(Variant("poh:8192", nnz * calib["poh:8192"] + xbytes))
+        out.append(Variant("poh_fast:8192", nnz * calib["poh_fast:8192"] + xbytes))
     if include_pallas and k is not None and k <= 64 and db <= 4:
-        # SpMM twin: one-hots amortize over k columns (measured ~130/80
-        # equiv-B per nnz·k split/fast — 80x the XLA gather SpMM)
-        out.append(Variant("poh_mm", nnz * 130.0 * kk + xbytes))
-        out.append(Variant("poh_mm_fast", nnz * 80.0 * kk + xbytes))
+        # SpMM twin: one-hots amortize over k columns
+        out.append(Variant("poh_mm", nnz * calib["poh_mm"] * kk + xbytes))
+        out.append(Variant("poh_mm_fast", nnz * calib["poh_mm_fast"] * kk + xbytes))
 
     # RCM reordering toward the banded kernels (cask's DSE explored
     # architecture params; reordering is the analogous *data-layout*
@@ -275,7 +280,10 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
                 seconds_per_op=hit.get("seconds_per_op"),
             )
 
-    variants = enumerate_variants(a, sig, k, include_pallas=include_pallas)
+    from cask_tpu.tune.calibrate import poh_equiv_bytes
+
+    variants = enumerate_variants(a, sig, k, include_pallas=include_pallas,
+                                  calib=poh_equiv_bytes(cache))
     variants.sort(key=lambda v: v.est_bytes)
     candidates = variants[: max(time_budget, 1)]
 

@@ -130,3 +130,36 @@ class TestSparseAdd:
         c = shift_identity(a, -2.5)
         ref = to_scipy(a) - 2.5 * sp.eye(80)
         _close(c, ref)
+
+
+class TestPohNumeric:
+    def test_aa_powerlaw_matches_scipy(self):
+        a = power_law(300, avg_degree=5, seed=7, dtype=np.float32)
+        plan = spgemm_plan(a, a)
+        bound = plan.bind_poh(np.asarray(a.data), nnz_b=a.nnz)
+        c = bound(np.asarray(a.data))
+        ref = (to_scipy(a) @ to_scipy(a)).tocsr()
+        ref.sum_duplicates()
+        got = to_scipy(c)
+        d = abs(got - ref)
+        assert d.nnz == 0 or d.max() < 1e-3  # f32 + one-hot MXU path
+
+    def test_ab_value_stream(self):
+        # A static, B values change: rebind-free numeric updates
+        a = random_uniform(80, 120, density=0.05, seed=3, dtype=np.float32)
+        b = random_uniform(120, 60, density=0.05, seed=4, dtype=np.float32)
+        plan = spgemm_plan(a, b)
+        bound = plan.bind_poh(np.asarray(a.data), nnz_b=b.nnz)
+        for seed in (0, 1):
+            bd = np.random.default_rng(seed).standard_normal(b.nnz).astype(np.float32)
+            c = bound(bd)
+            ref = (to_scipy(a) @ sp.csr_matrix(
+                (bd, np.asarray(b.indices), np.asarray(b.indptr)), shape=b.shape)).tocsr()
+            d = abs(to_scipy(c) - ref)
+            assert d.nnz == 0 or d.max() < 1e-3
+
+    def test_out_id_sorted(self):
+        # the segment_sum hint in numeric() relies on this invariant
+        a = power_law(200, avg_degree=6, seed=9)
+        plan = spgemm_plan(a, a)
+        assert (np.diff(plan.out_id) >= 0).all()

@@ -191,3 +191,29 @@ class TestReorderVariants:
                  enumerate_variants(a, signature(a), None, include_pallas=True)}
         assert "dia_pallas" in names
         assert not any(n.startswith("rcm:") for n in names)
+
+
+class TestCalibration:
+    def test_defaults_without_record(self, tmp_tuner_cache):
+        from cask_tpu.tune.calibrate import SEED_EQUIV_BYTES, poh_equiv_bytes
+
+        assert poh_equiv_bytes(tmp_tuner_cache) == SEED_EQUIV_BYTES
+
+    def test_cached_record_overrides(self, tmp_tuner_cache):
+        from cask_tpu.tune import calibrate as cal
+
+        tmp_tuner_cache.put(cal._key(), {"equiv_bytes": {"poh:2048": 111.0}})
+        eb = cal.poh_equiv_bytes(tmp_tuner_cache)
+        assert eb["poh:2048"] == 111.0
+        assert eb["poh_mm"] == cal.SEED_EQUIV_BYTES["poh_mm"]
+
+    def test_enumeration_uses_calibration(self):
+        # a cheap calibrated poh must outrank everything on a power-law
+        a = power_law(600, avg_degree=6, seed=4)
+        a32 = a.astype(np.float32)
+        cheap = {"poh:2048": 1.0, "poh:8192": 2.0, "poh_fast:8192": 3.0,
+                 "poh_mm": 1.0, "poh_mm_fast": 1.0}
+        vs = enumerate_variants(a32, signature(a32), None,
+                                include_pallas=True, calib=cheap)
+        best = min(vs, key=lambda v: v.est_bytes)
+        assert best.name == "poh"
