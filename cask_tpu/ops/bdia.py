@@ -123,6 +123,44 @@ class BdiaMatrix:
         return max(_round_up(need_cols, _LANE) // _LANE + 1, need_tiles)
 
     @property
+    def resident_pads(self) -> Tuple[int, int]:
+        """(p0t, p1t): lo/hi pad *tiles* of the solver-resident layout.
+
+        The lo pad is a whole number of value tiles so input and output
+        share one segmented layout (zero-copy Krylov chaining)."""
+        lo_rows = -(-self.lo // _LANE)
+        hi_rows = self.hi // _LANE + 2
+        p0t = -(-max(lo_rows, 1) // self.ts)
+        p1t = -(-hi_rows // self.ts)
+        return p0t, p1t
+
+    @property
+    def resident_seg_rows(self) -> int:
+        p0t, p1t = self.resident_pads
+        return (p0t + self.n_tiles + p1t) * self.ts
+
+    def to_resident(self, x):
+        """(n,) vector → the shared (bc·SEG, 128) solver layout."""
+        bc = self.blocksize[1]
+        n = self.shape[1]
+        seg = self.resident_seg_rows
+        p0t, _ = self.resident_pads
+        off = p0t * self.ts * _LANE
+        xc = jnp.zeros((self.nbc * bc,), x.dtype).at[:n].set(x).reshape(self.nbc, bc).T
+        x2 = jnp.zeros((bc, seg * _LANE), x.dtype)
+        x2 = x2.at[:, off : off + self.nbc].set(xc)
+        return x2.reshape(bc * seg, _LANE)
+
+    def from_resident(self, y2):
+        br = self.blocksize[0]
+        m = self.shape[0]
+        seg = self.resident_seg_rows
+        p0t, _ = self.resident_pads
+        off = p0t * self.ts * _LANE
+        y = y2.reshape(br, seg * _LANE)[:, off : off + self.nbr]
+        return y.T.reshape(-1)[:m]
+
+    @property
     def pairs(self) -> Tuple[Tuple[int, int], ...]:
         """Static (c, d) per vals slot j — the unrolled FMA schedule."""
         bc = self.blocksize[1]
@@ -167,12 +205,18 @@ class BdiaMatrix:
 
     def spmv(self, x, *, method: str = "auto"):
         if method in ("auto", "pallas") and bdia_pallas_ok(self):
-            from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas
+            from cask_tpu.ops.pallas.bdia_kernels import (
+                bdia_spmv_pallas, bdia_spmv_pallas_resident)
 
             from cask_tpu.utils.platform import on_tpu
 
             if method == "pallas" or on_tpu():
-                y = self.from_bdia(bdia_spmv_pallas(self, self.to_bdia(x)))
+                br, bc = self.blocksize
+                if br == bc:
+                    y = self.from_resident(
+                        bdia_spmv_pallas_resident(self, self.to_resident(x)))
+                else:
+                    y = self.from_bdia(bdia_spmv_pallas(self, self.to_bdia(x)))
                 if self.rem_data.shape[0]:
                     y = y + self._remainder_spmv(x)
                 return y
@@ -204,6 +248,54 @@ class BdiaMatrix:
     def _remainder_spmv(self, x):
         prod = self.rem_data * x[self.rem_col]
         return jax.ops.segment_sum(prod, self.rem_row, num_segments=self.shape[0])
+
+
+class BdiaOperator:
+    """Solver-facing SpMV operator in the zero-copy resident layout.
+
+    The BDIA twin of :class:`cask_tpu.ops.dia.DiaOperator`: every Krylov
+    vector stays in the segmented layout, so iterations pay no
+    de-interleave copies (cask lesson §3.3: no boundary crossing per
+    iteration).  Falls back to the XLA formulation off-TPU or when the
+    Pallas geometry doesn't hold.
+    """
+
+    def __init__(self, a, blocksize=None, *, method: str = "auto"):
+        if not isinstance(a, BdiaMatrix):
+            a = bdia_plan(a, blocksize)
+        self.bdia = a
+        br, bc = a.blocksize
+        use_pallas = (
+            method in ("auto", "pallas") and br == bc and bdia_pallas_ok(a)
+            and a.rem_data.shape[0] == 0
+        )
+        if method == "pallas" and not use_pallas:
+            raise ValueError("resident BDIA Pallas path unavailable "
+                             "(needs square blocks, VMEM-resident x, no remainder)")
+        if use_pallas and method == "auto":
+            from cask_tpu.utils.platform import on_tpu
+
+            use_pallas = on_tpu()
+        self.mode = "resident" if use_pallas else "xla"
+
+    def to_padded(self, v):
+        import jax.numpy as jnp_
+
+        if self.mode == "resident":
+            return self.bdia.to_resident(jnp_.asarray(v))
+        return jnp_.asarray(v)
+
+    def from_padded(self, v):
+        if self.mode == "resident":
+            return self.bdia.from_resident(v)
+        return v
+
+    def __call__(self, v):
+        if self.mode == "resident":
+            from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_resident
+
+            return bdia_spmv_pallas_resident(self.bdia, v)
+        return self.bdia._spmv_xla(v)
 
 
 def bdia_pallas_ok(a: BdiaMatrix) -> bool:

@@ -45,6 +45,65 @@ def _bdia_spmv_kernel(pair_qs, ts, seg, interpret, x_ref, v_ref, o_ref):
     o_ref[0] = acc
 
 
+def _bdia_resident_kernel(pair_qs, ts, seg, p0t, T, interpret, x_ref, v_ref, o_ref):
+    # input and output share the segmented layout: tile (r, tt) writes
+    # segment r's rows [tt*ts, (tt+1)*ts); tiles outside the body (the
+    # lo-pad and tail-slack regions) write zeros.
+    tt = pl.program_id(1)
+    in_body = (tt >= p0t) & (tt < p0t + T)
+
+    @pl.when(jnp.logical_not(in_body))
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when(in_body)
+    def _():
+        acc = jnp.zeros((ts, _LANE), dtype=o_ref.dtype)
+        for j, (c, q, s) in enumerate(pair_qs):
+            row0 = c * seg + tt * ts + q  # q measured from the segment
+            acc = acc + v_ref[0, 0, j] * _shifted_window(x_ref, row0, s, ts,
+                                                         interpret)
+        o_ref[0] = acc
+
+
+def bdia_spmv_pallas_resident(a: "_bdia.BdiaMatrix", x2):
+    """SpMV in the solver-resident layout: output shares the input's
+    (b·SEG, 128) segmented layout, so Krylov iterations chain with zero
+    relayout copies (square blocks only; the BDIA twin of the scalar
+    DIA solver layout, dia_kernels.py:231).
+    """
+    br, bc = a.blocksize
+    if br != bc:
+        raise ValueError("resident BDIA layout needs square blocks")
+    ts, T = a.ts, a.n_tiles
+    p0t, p1t = a.resident_pads
+    seg = (p0t + T + p1t) * ts
+    npairs = a.npairs
+    pair_qs = tuple((c, *divmod(d, _LANE)) for (c, d) in a.pairs)
+    out_dtype = jnp.promote_types(a.vals.dtype, x2.dtype)
+    if jnp.bfloat16 in (a.vals.dtype, x2.dtype):
+        out_dtype = jnp.promote_types(out_dtype, jnp.float32)
+
+    def v_index(r, tt):
+        return (r, jnp.clip(tt - p0t, 0, T - 1), 0, 0, 0)
+
+    kernel = functools.partial(_bdia_resident_kernel, pair_qs, ts, seg, p0t, T,
+                               _interpret())
+    return pl.pallas_call(
+        kernel,
+        grid=(br, p0t + T + p1t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+            pl.BlockSpec((1, 1, npairs, ts, _LANE), v_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ts, _LANE), lambda r, tt: (r, tt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((br, seg, _LANE), out_dtype),
+        interpret=_interpret(),
+    )(x2, a.vals).reshape(br * seg, _LANE)
+
+
 def bdia_spmv_pallas(a: "_bdia.BdiaMatrix", x2):
     """SpMV on the pre-deinterleaved (bc·SEG, 128) x layout.
 

@@ -15,5 +15,6 @@ from cask_tpu.parallel.partition import (  # noqa: F401
     partition_2d,
     partition_coo,
     partition_dia,
+    stencil_dia_partition,
     partition_poh,
 )

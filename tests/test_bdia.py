@@ -140,3 +140,55 @@ class TestSpmvPallas:
         np.testing.assert_allclose(
             np.asarray(plan.spmv(x)), _spmv_ref(a, x), rtol=1e-12
         )
+
+
+class TestResidentLayout:
+    @pytest.mark.parametrize("dof", [2, 4, 8])
+    def test_matches_scipy(self, dof):
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_resident
+
+        a = fem_blocks(7, dof=dof, dtype=np.float32)
+        plan = bdia_plan(a, (dof, dof))
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(a.shape[1]).astype(np.float32)
+        y2 = bdia_spmv_pallas_resident(plan, plan.to_resident(x))
+        assert y2.shape == plan.to_resident(x).shape  # chainable
+        y = plan.from_resident(y2)
+        np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_chained_applications(self):
+        # y = A(A(x)) entirely in the resident layout
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_resident
+
+        a = fem_blocks(6, dof=4, dtype=np.float32)
+        plan = bdia_plan(a, (4, 4))
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(a.shape[1]).astype(np.float32)
+        y2 = bdia_spmv_pallas_resident(
+            plan, bdia_spmv_pallas_resident(plan, plan.to_resident(x)))
+        ref = to_scipy(a) @ (to_scipy(a) @ x)
+        np.testing.assert_allclose(np.asarray(plan.from_resident(y2)), ref,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_operator_xla_mode_on_cpu(self):
+        from cask_tpu.ops.bdia import BdiaOperator
+
+        a = fem_blocks(6, dof=4)
+        op = BdiaOperator(a, (4, 4))
+        assert op.mode == "xla"  # CPU default
+        x = np.random.default_rng(2).standard_normal(a.shape[1])
+        np.testing.assert_allclose(
+            np.asarray(op.from_padded(op(op.to_padded(x)))),
+            _spmv_ref(a, x), rtol=1e-10)
+
+    def test_operator_pallas_mode_forced(self):
+        from cask_tpu.ops.bdia import BdiaOperator
+
+        a = fem_blocks(6, dof=4, dtype=np.float32)
+        op = BdiaOperator(a, (4, 4), method="pallas")
+        assert op.mode == "resident"
+        x = np.random.default_rng(3).standard_normal(a.shape[1]).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(op.from_padded(op(op.to_padded(x)))),
+            _spmv_ref(a, x), rtol=2e-5, atol=2e-5)
