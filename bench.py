@@ -75,13 +75,16 @@ def main():
 
             best = None
             for _ in range(ATTEMPTS):
-                meas, bytes_op = fn()
+                out = fn()
+                meas, bytes_op = out[0], out[1]
+                meta = out[2] if len(out) > 2 else {
+                    "matrix": f"stencil5_{side}x{side}", "rows": m, "nnz": nnz}
                 if not np.isfinite(meas.seconds_per_iter):
                     continue
                 if best is None or meas.seconds_per_iter < best["s"]:
                     best = {"s": meas.seconds_per_iter,
                             "reliable": meas.reliable,
-                            "bytes": bytes_op}
+                            "bytes": bytes_op, "meta": meta}
             if best is not None:
                 results[name] = best
         except Exception as e:  # noqa: BLE001
@@ -113,7 +116,42 @@ def main():
         )
         return meas, bytes_op
 
+    def pallas_il_stream(dtype):
+        # interleaved math with HBM-streamed x (chunk prefetch): removes
+        # the serial resident-x copy the plain interleaved variant pays
+        d = scaled(dtype)
+        bytes_op = d.traffic_bytes + 2 * m * 4
+        xI = jax.jit(lambda v: dk.to_interleaved(d, v))(x0)
+        vI = jax.jit(lambda: dk.pack_vals_interleaved(d))()
+        meas = measure_chained(
+            lambda v: dk.dia_spmv_pallas_il_stream(d, v, vI), xI
+        )
+        return meas, bytes_op
+
+    def bdia_fem(dtype):
+        # the north-star kernel: tuned BSR SpMV (BDIA resident layout)
+        # on the 1M-row dof-4 FEM-block matrix — zero gathers, zero fill
+        from cask_tpu.formats.device_gen import fem_bdia_device
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_resident
+
+        nx, dof = (512 if on_tpu else 64), 4  # CPU smoke stays interpretable
+        plan = fem_bdia_device(nx, dof=dof, dtype=dtype)
+        plan = dataclasses.replace(
+            plan, vals=plan.vals * jnp.asarray(1.0 / (8.0 * dof), dtype))
+        nB = plan.shape[0]
+        nnzB = (nx * nx + 4 * nx * (nx - 1)) * dof * dof
+        bytes_op = nnzB * jnp.dtype(dtype).itemsize + 2 * nB * 4
+        xB = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(0), (nB,), jnp.float32))()
+        x2 = jax.jit(lambda v: plan.to_resident(v))(xB)
+        meas = measure_chained(
+            lambda v: bdia_spmv_pallas_resident(plan, v), x2)
+        return meas, bytes_op, {"matrix": f"fem_dof{dof}_{nx}x{nx}",
+                                "rows": nB, "nnz": nnzB}
+
+    try_variant("bdia_fem_f32", lambda: bdia_fem(jnp.float32))
+    try_variant("pallas_il_stream_f32", lambda: pallas_il_stream(jnp.float32))
     try_variant("pallas_interleaved_f32", lambda: pallas_interleaved(jnp.float32))
+    try_variant("pallas_il_stream_bf16", lambda: pallas_il_stream(jnp.bfloat16))
     try_variant("pallas_interleaved_bf16", lambda: pallas_interleaved(jnp.bfloat16))
     try_variant("pallas_layout_f32", lambda: pallas_layout(jnp.float32))
     try_variant("pallas_layout_bf16", lambda: pallas_layout(jnp.bfloat16))
@@ -159,6 +197,7 @@ def main():
     best = max(pool, key=fracs.get)
     frac = fracs[best]
     secs = results[best]["s"]
+    meta = results[best]["meta"]
     record = {
         "metric": "spmv_roofline_frac",
         "value": round(frac, 4),
@@ -166,13 +205,13 @@ def main():
         "vs_baseline": round(frac / 0.80, 4),
         "detail": {
             "variant": best,
-            "matrix": f"stencil5_{side}x{side}",
-            "rows": m,
-            "nnz": nnz,
+            "matrix": meta["matrix"],
+            "rows": meta["rows"],
+            "nnz": meta["nnz"],
             "bytes_per_op": results[best]["bytes"],
             "seconds_per_op": secs,
-            "gnnz_per_s": round(nnz / secs / 1e9, 3),
-            "gflops": round(2 * nnz / secs / 1e9, 2),
+            "gnnz_per_s": round(meta["nnz"] / secs / 1e9, 3),
+            "gflops": round(2 * meta["nnz"] / secs / 1e9, 2),
             "achieved_GBs": round(frac * HBM_BW / 1e9, 2),
             "backend": ("tpu" if on_tpu else "cpu"),
             "on_tpu": on_tpu,

@@ -537,6 +537,158 @@ def dia_spmv_pallas_interleaved(a: "_dia.DiaMatrix", x2, v_il):
     )(x2, v_il)
 
 
+# Streamed interleaved variant: identical math to _spmv_il_kernel, but x
+# lives in HBM and arrives in VMEM through *progressive chunk prefetch* —
+# chunk c is DMA-started LEAD chunks before the tile cursor needs it, so
+# the x load rides concurrently with the value stream instead of the
+# serial whole-array VMEM copy the resident variant pays per call
+# (~n·db/819GB/s of dead time; the measured f32 roofline gap, VERDICT r1
+# item 2).  Negative-offset carry corrections read the far END of x from
+# early tiles — those rows come from a small resident rim operand so the
+# chunk schedule stays strictly forward.
+
+_IL_CHUNK = 512  # rows per prefetch chunk (512·128·4B = 256 KB at f32)
+
+
+def _il_stream_geometry(offsets, C, P0, P1):
+    total_rows = P0 + C + P1
+    max_off = max(max(offsets), 0)
+    min_off = min(min(offsets), 0)
+    # main-loop + positive-carry reads reach (tt+1)·64 + max_off rows
+    last_need = total_rows - 1
+    nchunks = -(-total_rows // _IL_CHUNK)
+    lead = -(-(_SUBL + max_off) // _IL_CHUNK) + 1
+    rim_start = max(P0 + C + min_off - 8, 0)
+    rim_rows = total_rows - rim_start
+    return total_rows, nchunks, lead, rim_start, rim_rows, max_off, min_off
+
+
+def _spmv_il_stream_kernel(offsets, C, p0t, T2, nchunks, lead, rim_start,
+                           interpret, x_hbm, v_ref, xrim_v, o_ref, xv, sems):
+    tt = pl.program_id(0)
+    max_off = max(max(offsets), 0)
+
+    def chunk_dma(c):
+        rows = xv.shape[0]
+        start = c * _IL_CHUNK
+        size = min(_IL_CHUNK, rows - start) if start + _IL_CHUNK > rows else _IL_CHUNK
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, size), :], xv.at[pl.ds(start, size), :],
+            sems.at[c],
+        )
+
+    # W(tt): highest chunk index the tile's reads touch
+    def W(t):
+        return jnp.minimum(((t + 1) * _SUBL + max_off) // _IL_CHUNK, nchunks - 1)
+
+    w0 = int(min((_SUBL + max_off) // _IL_CHUNK, nchunks - 1))
+
+    @pl.when(tt == 0)
+    def _():
+        for c in range(min(w0 + lead + 1, nchunks)):
+            chunk_dma(c).start()
+        for c in range(w0 + 1):
+            chunk_dma(c).wait()
+
+    @pl.when((tt > 0) & (W(tt) > W(tt - 1)))
+    def _():
+        # one new chunk becomes needed (chunk >= 64-row tile step);
+        # start its lead partner and wait on it
+        w = W(tt)
+
+        @pl.when(w + lead < nchunks)
+        def _():
+            # static unrolled dispatch on the dynamic chunk id
+            for c in range(w0 + lead + 1, nchunks):
+                @pl.when(w + lead == c)
+                def _(c=c):
+                    chunk_dma(c).start()
+
+        for c in range(w0 + 1, nchunks):
+            @pl.when(w == c)
+            def _(c=c):
+                chunk_dma(c).wait()
+
+    in_body = (tt >= p0t) & (tt < p0t + T2)
+
+    @pl.when(jnp.logical_not(in_body))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(in_body)
+    def _():
+        acc = jnp.zeros((_SUBL, _LANE), dtype=o_ref.dtype)
+        for d, off in enumerate(offsets):
+            acc = acc + v_ref[0, d] * xv[pl.ds(tt * _SUBL + off, _SUBL), :]
+        o_ref[...] = acc
+
+    rowg = (tt - p0t) * _SUBL + jax.lax.broadcasted_iota(
+        jnp.int32, (_SUBL, _LANE), 0
+    )
+    for d, off in enumerate(offsets):
+        if off > 0:
+            tt_hi = p0t + max(0, (C - off - (_SUBL - 1))) // _SUBL
+
+            @pl.when(in_body & (tt >= tt_hi))
+            def _(d=d, off=off):
+                read = xv[pl.ds(tt * _SUBL + off - C, _SUBL), :]
+                corr = _roll_lanes(read, 1, interpret)
+                mask = rowg + off >= C
+                o_ref[...] += v_ref[0, d] * jnp.where(mask, corr, 0)
+        elif off < 0:
+            tt_lo = p0t + (-off - 1) // _SUBL
+
+            @pl.when(in_body & (tt <= tt_lo))
+            def _(d=d, off=off):
+                # far-end rows from the resident rim (not yet prefetched)
+                read = xrim_v[pl.ds(tt * _SUBL + off + C - rim_start, _SUBL), :]
+                corr = _roll_lanes(read, _LANE - 1, interpret)
+                mask = rowg + off < 0
+                o_ref[...] += v_ref[0, d] * jnp.where(mask, corr, 0)
+
+
+def dia_spmv_pallas_il_stream(a: "_dia.DiaMatrix", x2, v_il):
+    """Interleaved SpMV with HBM-streamed x (chunk prefetch): same layout
+    contract as :func:`dia_spmv_pallas_interleaved`."""
+    D = a.ndiags
+    C, P0, P1 = _il_geometry(a)
+    T2 = C // _SUBL
+    p0t = P0 // _SUBL
+    total_tiles = (P0 + C + P1) // _SUBL
+    total_rows, nchunks, lead, rim_start, rim_rows, max_off, min_off = \
+        _il_stream_geometry(a.offsets, C, P0, P1)
+    out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, x2.dtype), jnp.float32) \
+        if jnp.bfloat16 in (a.vals.dtype, x2.dtype) \
+        else jnp.promote_types(a.vals.dtype, x2.dtype)
+
+    xrim = jax.lax.slice(x2, (rim_start, 0), (total_rows, _LANE))
+
+    def v_index(tt):
+        return (jnp.clip(tt - p0t, 0, T2 - 1), 0, 0, 0)
+
+    kernel = functools.partial(
+        _spmv_il_stream_kernel, a.offsets, C, p0t, T2, nchunks, lead,
+        rim_start, _interpret(),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, D, _SUBL, _LANE), v_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_SUBL, _LANE), lambda tt: (tt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total_tiles * _SUBL, _LANE), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((total_rows, _LANE), x2.dtype),
+            pltpu.SemaphoreType.DMA((nchunks,)),
+        ],
+        interpret=_interpret(),
+    )(x2, v_il, xrim)
+
+
 # ---------------------------------------------------------------------------
 # SpMM
 # ---------------------------------------------------------------------------

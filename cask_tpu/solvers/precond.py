@@ -5,6 +5,16 @@ solvers.  ILU(0) (the strongest of these) lives in
 :mod:`cask_tpu.ops.ilu`; these lighter ones need no factorization and
 work distributed (Jacobi is embarrassingly parallel; block-Jacobi's
 blocks live within shards).
+
+**TPU guidance (measured, PERF.md probe3):** level-scheduled triangular
+solves — and therefore ILU(0)/IC(0)/SSOR *application* — are 3–4 orders
+of magnitude off the per-iteration budget on v5e (143 ms vs Jacobi-PCG's
+22 µs at 262k rows): the wavefront serializes into ~2·√n scan steps
+whose fixed per-step cost never amortizes, and no realistic iteration
+saving recovers it.  Prefer :func:`jacobi`, :func:`block_jacobi`,
+:func:`chebyshev_precond`, or :mod:`cask_tpu.solvers.amg`; keep the
+trisolve-based preconditioners for correctness tests, small systems, and
+many-RHS batches (the level sweep batches over trailing axes for free).
 """
 
 from __future__ import annotations

@@ -187,6 +187,30 @@ class TestInterleaved:
         d = dia_plan(a)
         assert not dk.interleaved_ok(d, jnp.float32)
 
+    @pytest.mark.parametrize("gen", [
+        lambda: __import__("cask_tpu").generate.stencil_2d(95),
+        lambda: __import__("cask_tpu").generate.banded(9000, 3, seed=2),
+        lambda: __import__("cask_tpu").generate.stencil_2d(256),
+    ])
+    def test_stream_variant_matches(self, gen):
+        # HBM-streamed x with chunk prefetch: same layout, same numbers
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        a = gen()
+        d = dia_plan(a)
+        x = np.random.default_rng(3).standard_normal(a.shape[0])
+        ref = to_scipy(a) @ x
+        xI = dk.to_interleaved(d, jnp.asarray(x))
+        vI = dk.pack_vals_interleaved(d)
+        yI = dk.dia_spmv_pallas_il_stream(d, xI, vI)
+        np.testing.assert_allclose(np.asarray(dk.from_interleaved(d, yI)), ref,
+                                   rtol=1e-12, atol=1e-10)
+        # chains in-layout like the resident variant
+        y2 = dk.from_interleaved(d, dk.dia_spmv_pallas_il_stream(d, yI, vI))
+        np.testing.assert_allclose(np.asarray(y2), to_scipy(a) @ ref,
+                                   rtol=1e-12, atol=1e-10)
+
 
 class TestLell:
     @pytest.mark.parametrize("groups", [4, 8, 16])
