@@ -98,7 +98,8 @@ class DiaMatrix:
     def spmm(self, x, *, method: str = "auto"):
         if method in ("auto", "pallas"):
             from cask_tpu.ops.pallas.dia_kernels import (
-                dia_spmm_pallas, dia_spmm_pallas_kt, kt_ok, pallas_ok)
+                dia_spmm_pallas, dia_spmm_pallas_kt, dia_spmm_pallas_ring,
+                kt_ok, pallas_ok, ring_ok)
 
             k = int(x.shape[1])
             if method == "pallas" or _on_tpu():
@@ -106,6 +107,12 @@ class DiaMatrix:
                 # (k=32 on the standard layout moves 4x the X/Y bytes)
                 if k <= 64 and kt_ok(self, k):
                     y = dia_spmm_pallas_kt(self, x)
+                    return y + self._remainder_spmm(x) if self.rem_data.shape[0] else y
+                # wide k: X/Y dominate traffic — the ring kernel reads X
+                # from HBM exactly once (the windowed kernel re-reads by
+                # (tm+span)/tm)
+                if ring_ok(self, k):
+                    y = dia_spmm_pallas_ring(self, x)
                     return y + self._remainder_spmm(x) if self.rem_data.shape[0] else y
                 if pallas_ok(self, k=k):
                     y = dia_spmm_pallas(self, x)

@@ -848,6 +848,175 @@ def dia_spmm_pallas_padded(a: "_dia.DiaMatrix", xp):
 # chained/multi-RHS users stay in it and pay the transpose only at the
 # boundary (same discipline as the SpMV solver layout).
 
+# ---------------------------------------------------------------------------
+# Ring-buffered SpMM: X read exactly once.
+#
+# The windowed SpMM kernel re-reads X by (tm+span)/tm per tile (1.5x at
+# tm=4096 for the 1M stencil) and that re-read is pure waste at k=128
+# where X/Y dominate traffic.  Here X strips of tm rows live in a 4-bank
+# VMEM ring; each grid step DMAs ONLY the newly-needed strip, so every X
+# row crosses HBM once.  A diagonal shift reads at most two adjacent
+# banks (requires |off| <= tm), each a static intra-bank slice — two FMA
+# pieces per diagonal.  Input and output share one strip-aligned padded
+# layout, so chained solver iterations (and honest chained timing) pay
+# no relayout.
+# ---------------------------------------------------------------------------
+
+
+def _ring_geometry(a: "_dia.DiaMatrix", kp: int, db: int):
+    lo = -min(min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    for tm in (4096, 2048, 1024, 512, 256):
+        if a.m_pad % tm or lo > tm or hi > tm:
+            continue
+        # 4 ring banks + double-buffered out tile + value tiles
+        need = (4 * tm + 3 * tm) * kp * db + 2 * a.ndiags * tm * db
+        if need <= _SPMM_VMEM_BUDGET:
+            p0 = -(-lo // tm) if lo else 1  # >=1 so strip tt-1 exists
+            p1 = -(-(hi + 1) // tm)
+            return tm, p0, p1
+    return None
+
+
+def ring_ok(a: "_dia.DiaMatrix", k: int) -> bool:
+    if not a.offsets or a.ndiags > _MAX_UNROLL_DIAGS:
+        return False
+    kp = max(_LANE, -(-k // _LANE) * _LANE)
+    return _ring_geometry(a, kp, 4) is not None
+
+
+def spmm_ring_rows(a: "_dia.DiaMatrix", kp: int, db: int) -> int:
+    tm, p0, p1 = _ring_geometry(a, kp, db)
+    return (p0 + a.m_pad // tm + p1) * tm
+
+
+def to_spmm_ring(a: "_dia.DiaMatrix", x):
+    """(n, k) dense block → the strip-aligned (rows, kp) layout."""
+    n = a.shape[1]
+    k = int(x.shape[1])
+    kp = max(_LANE, -(-k // _LANE) * _LANE)
+    db = jnp.dtype(x.dtype).itemsize
+    tm, p0, p1 = _ring_geometry(a, kp, db)
+    rows = (p0 + a.m_pad // tm + p1) * tm
+    xp = jnp.zeros((rows, kp), x.dtype)
+    return xp.at[p0 * tm : p0 * tm + n, :k].set(x)
+
+
+def from_spmm_ring(a: "_dia.DiaMatrix", yp, k: int):
+    kp = int(yp.shape[1])
+    db = jnp.dtype(yp.dtype).itemsize
+    tm, p0, p1 = _ring_geometry(a, kp, db)
+    return yp[p0 * tm : p0 * tm + a.shape[0], :k]
+
+
+def _spmm_ring_kernel(offsets, tm, kp, p0, T, TT, pret, x_hbm, v_ref, o_ref,
+                      banks, sems):
+    tt = pl.program_id(0)
+    nstrips = TT  # one strip per tile of the shared layout
+
+    def strip_dma(s):
+        # s: traced strip id; bank slot s % 4 (dispatch over static slots)
+        return [(slot, pltpu.make_async_copy(
+            x_hbm.at[pl.ds(s * tm, tm), :], banks.at[slot], sems.at[slot]))
+            for slot in range(4)]
+
+    def start(s):
+        for slot, dma in strip_dma(s):
+            @pl.when((s % 4 == slot) & (s < nstrips))
+            def _(dma=dma):
+                dma.start()
+
+    def wait(s):
+        for slot, dma in strip_dma(s):
+            @pl.when((s % 4 == slot) & (s < nstrips))
+            def _(dma=dma):
+                dma.wait()
+
+    @pl.when(tt == 0)
+    def _():
+        for s in range(3):
+            start(jnp.int32(s))
+        wait(jnp.int32(0))
+        wait(jnp.int32(1))
+
+    @pl.when(tt > 0)
+    def _():
+        start(tt + 2)
+        wait(tt + 1)
+
+    in_body = (tt >= p0) & (tt < p0 + T)
+
+    @pl.when(jnp.logical_not(in_body))
+    def _():
+        o_ref[...] = jnp.zeros((tm, kp), dtype=o_ref.dtype)
+
+    @pl.when(in_body)
+    def _():
+        vt = v_ref[...] if pret else v_ref[...].T  # (tm, D)
+        o_ref[...] = jnp.zeros((tm, kp), dtype=o_ref.dtype)
+        for d, off in enumerate(offsets):
+            q, r = divmod(off, tm)  # floor: q in {-1, 0}, r in [0, tm)
+            # piece 1: local rows [0, tm-r) from bank (tt+q): rows [r, tm)
+            # piece 2: local rows [tm-r, tm) from bank (tt+q+1): rows [0, r)
+            for slot in range(4):
+                @pl.when((tt + q) % 4 == slot)
+                def _(d=d, q=q, r=r, slot=slot):
+                    if r == 0:
+                        o_ref[...] += vt[:, d : d + 1] * banks[slot]
+                    else:
+                        o_ref[: tm - r, :] += (
+                            vt[: tm - r, d : d + 1] * banks[slot, r:, :])
+            if r:
+                for slot in range(4):
+                    @pl.when((tt + q + 1) % 4 == slot)
+                    def _(d=d, q=q, r=r, slot=slot):
+                        o_ref[tm - r :, :] += (
+                            vt[tm - r :, d : d + 1] * banks[slot, :r, :])
+
+
+def dia_spmm_pallas_ring_padded(a: "_dia.DiaMatrix", xp):
+    """SpMM in the shared strip layout: in and out have identical shape."""
+    kp = int(xp.shape[1])
+    D = a.ndiags
+    db = jnp.dtype(xp.dtype).itemsize
+    tm, p0, p1 = _ring_geometry(a, kp, db)
+    T = a.m_pad // tm
+    TT = p0 + T + p1
+    out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, xp.dtype), jnp.float32) \
+        if jnp.bfloat16 in (a.vals.dtype, xp.dtype) \
+        else jnp.promote_types(a.vals.dtype, xp.dtype)
+    pret = a.vals_t is not None
+    if pret:
+        v_spec = pl.BlockSpec((tm, D), lambda tt: (jnp.clip(tt - p0, 0, T - 1), 0),
+                              memory_space=pltpu.VMEM)
+        v_operand = a.vals_t
+    else:
+        v_spec = pl.BlockSpec((D, tm), lambda tt: (0, jnp.clip(tt - p0, 0, T - 1)),
+                              memory_space=pltpu.VMEM)
+        v_operand = a.vals
+    kernel = functools.partial(_spmm_ring_kernel, a.offsets, tm, kp, p0, T, TT,
+                               pret)
+    return pl.pallas_call(
+        kernel,
+        grid=(TT,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), v_spec],
+        out_specs=pl.BlockSpec((tm, kp), lambda tt: (tt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TT * tm, kp), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, tm, kp), xp.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=_interpret(),
+    )(xp, v_operand)
+
+
+def dia_spmm_pallas_ring(a: "_dia.DiaMatrix", x):
+    """y = A @ x via the ring kernel (X read from HBM exactly once)."""
+    k = int(x.shape[1])
+    return from_spmm_ring(a, dia_spmm_pallas_ring_padded(a, to_spmm_ring(a, x)), k)
+
+
 _KT_MAX_K = 64
 
 

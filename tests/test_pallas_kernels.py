@@ -212,6 +212,43 @@ class TestInterleaved:
                                    rtol=1e-12, atol=1e-10)
 
 
+class TestSpmmRing:
+    @pytest.mark.parametrize("gen,k", [
+        (lambda: __import__("cask_tpu").generate.stencil_2d(95), 128),
+        (lambda: __import__("cask_tpu").generate.banded(9000, 3, seed=2), 128),
+        (lambda: __import__("cask_tpu").generate.stencil_2d(256), 100),
+    ])
+    def test_correct_and_chains(self, gen, k):
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        a = gen()
+        d = dia_plan(a)
+        assert dk.ring_ok(d, k)
+        x = np.random.default_rng(0).standard_normal((a.shape[1], k))
+        ref = to_scipy(a) @ x
+        y = dk.dia_spmm_pallas_ring(d, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-12, atol=1e-10)
+        # in/out share the strip layout: chains with no relayout
+        xp = dk.to_spmm_ring(d, jnp.asarray(x))
+        y2 = dk.dia_spmm_pallas_ring_padded(
+            d, dk.dia_spmm_pallas_ring_padded(d, xp))
+        np.testing.assert_allclose(
+            np.asarray(dk.from_spmm_ring(d, y2, k)), to_scipy(a) @ ref,
+            rtol=1e-12, atol=1e-8)
+
+    def test_dispatch_prefers_ring_at_wide_k(self):
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        a = __import__("cask_tpu").generate.stencil_2d(95)
+        d = dia_plan(a)
+        x = np.random.default_rng(1).standard_normal((a.shape[1], 128))
+        y = d.spmm(jnp.asarray(x), method="pallas")
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x,
+                                   rtol=1e-12, atol=1e-10)
+
+
 class TestLell:
     @pytest.mark.parametrize("groups", [4, 8, 16])
     def test_grouped_correct(self, groups):
