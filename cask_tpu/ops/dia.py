@@ -192,6 +192,11 @@ class DiaOperator:
         else:
             self._v_pack = None
         self.method = method
+        # f32 prefers the chunk-prefetch streamed-x variant (measured
+        # 0.862 vs 0.816 roofline — the resident copy is serial); bf16's
+        # smaller value stream makes the resident copy win (PERF.md).
+        self.stream_x = (mode == "interleaved"
+                         and a.vals.dtype != jnp.bfloat16)
 
     @property
     def _use_layout(self) -> bool:  # backwards-compat for callers/tests
@@ -219,6 +224,8 @@ class DiaOperator:
         from cask_tpu.ops.pallas import dia_kernels as dk
 
         if self.mode == "interleaved":
+            if self.stream_x:
+                return dk.dia_spmv_pallas_il_stream(self.dia, v, self._v_pack)
             return dk.dia_spmv_pallas_interleaved(self.dia, v, self._v_pack)
         if self.mode == "layout":
             return dk.dia_spmv_pallas_layout(self.dia, v, v_tiled=self._v_pack)
