@@ -121,6 +121,12 @@ def spmv(a, x, *, transpose: bool = False, method: str = "auto",
         from cask_tpu.ops.dia import spmv_dia
 
         return spmv_dia(a, x, transpose=transpose, accum_dtype=accum_dtype)
+    if method == "bdia":
+        from cask_tpu.ops.bdia import bdia_plan
+
+        if transpose:
+            raise NotImplementedError("transpose BDIA SpMV: build a plan on aᵀ")
+        return bdia_plan(a, getattr(a, "blocksize", None)).spmv(x)
     if method not in ("auto", "xla"):
         raise ValueError(f"unknown spmv method {method!r}")
 
@@ -130,8 +136,13 @@ def spmv(a, x, *, transpose: bool = False, method: str = "auto",
         return _spmv_xla_coo(a, x, transpose, accum_dtype)
     if isinstance(a, BSR):
         return _spmv_xla_bsr(a, x, transpose, accum_dtype)
+    from cask_tpu.ops.bdia import BdiaMatrix
     from cask_tpu.ops.dia import DiaMatrix, spmv_dia
 
+    if isinstance(a, BdiaMatrix):
+        if transpose:
+            raise NotImplementedError("transpose BDIA SpMV: build a plan on aᵀ")
+        return a.spmv(x)
     if isinstance(a, DiaMatrix):
         return spmv_dia(a, x, transpose=transpose, accum_dtype=accum_dtype)
     from cask_tpu.ops.pallas.poh_kernels import PohMatrix

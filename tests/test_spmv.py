@@ -138,3 +138,31 @@ class TestConfig1:
         y = spmv(a32, x)
         ref = to_scipy(a) @ x.astype(np.float64)
         np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-5)
+
+
+class TestSpmvBdiaDispatch:
+    def test_method_bdia_on_bsr(self):
+        import jax.numpy as jnp
+
+        from cask_tpu import spmv
+        from cask_tpu.formats.convert import csr_to_bsr, to_scipy
+        from cask_tpu.formats.generate import fem_blocks
+
+        a = fem_blocks(8, dof=4)
+        b = csr_to_bsr(a, (4, 4))
+        x = np.random.default_rng(0).standard_normal(a.shape[1])
+        y = spmv(b, jnp.asarray(x), method="bdia")
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-11)
+
+    def test_bdia_matrix_instance(self):
+        import jax.numpy as jnp
+
+        from cask_tpu import bdia_plan, spmv
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.formats.generate import fem_blocks
+
+        a = fem_blocks(8, dof=2)
+        plan = bdia_plan(a, (2, 2))
+        x = np.random.default_rng(1).standard_normal(a.shape[1])
+        y = spmv(plan, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-11)
