@@ -109,8 +109,7 @@ def bench_scaling(side: int = 512, *, nshards_list=(1, 2, 4, 8),
     """
     import jax
 
-    from cask_tpu.formats.generate import stencil_2d
-    from cask_tpu.parallel import DistSpmv, partition_dia, row_mesh
+    from cask_tpu.parallel import DistSpmv, row_mesh, stencil_dia_partition
 
     ndev = len(jax.devices())
     records = []
@@ -118,8 +117,10 @@ def bench_scaling(side: int = 512, *, nshards_list=(1, 2, 4, 8),
     for p in nshards_list:
         if p > ndev:
             continue
-        a = stencil_2d(int(side * np.sqrt(p)), dtype=np.float32)  # weak scaling
-        plan = partition_dia(a, p)
+        # formulaic partition: no CSR materialization (a minute of numpy
+        # at 10M rows); bit-identical to partition_dia(stencil_2d(...))
+        plan = stencil_dia_partition(int(side * np.sqrt(p)), nshards=p)
+        a = plan
         op = DistSpmv(plan, row_mesh(p))
         xp = op.padded(np.random.default_rng(0).standard_normal(a.shape[0]).astype(np.float32))
         meas = measure(op.padded_op, xp)

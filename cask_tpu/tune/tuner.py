@@ -291,11 +291,32 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((n, k) if k else n).astype(np.dtype(a.dtype)))
 
+    # Square operators time under the chained-ladder protocol (the only
+    # reliable one through the axon relay — the pooled estimator read
+    # physically-impossible numbers and mis-ranked variants on hardware,
+    # probe6).  A per-step max-normalization keeps arbitrary matrices
+    # stable under composition; its cost (~2 vector passes) is uniform
+    # across variants, so rankings are unaffected.
+    m, n_ = a.shape
+    chained = (m == n_)
+
+    def _time(fn):
+        if not chained:
+            return measure(fn, x0)
+        from cask_tpu.tune.timing import measure_chained
+
+        def step(v):
+            y = fn(v)
+            s = jnp.max(jnp.abs(y)) + jnp.asarray(1e-30, y.dtype)
+            return (y / s).astype(v.dtype)
+
+        return measure_chained(step, x0, k1=5, k2=60, points=3, repeats=2)
+
     best = None
     for var in candidates:
         try:
             dev, fn = var.build(a, k)
-            meas = measure(fn, x0)
+            meas = _time(fn)
             log.info("tune %s: variant=%s t=%.3g s/op reliable=%s",
                      cache_key, var.name, meas.seconds_per_iter, meas.reliable)
             if not np.isfinite(meas.checksum):
