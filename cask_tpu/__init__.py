@@ -31,6 +31,7 @@ from cask_tpu.formats.convert import (  # noqa: F401
     csr_to_coo,
     csr_to_bsr,
     bsr_to_csr,
+    transpose,
 )
 from cask_tpu.formats.mtx import read_mtx, write_mtx  # noqa: F401
 from cask_tpu.formats import generate  # noqa: F401

@@ -189,6 +189,52 @@ def bsr_to_csr(a: BSR, *, prune: bool = True) -> CSR:
 
 
 # ---------------------------------------------------------------------------
+# transpose
+# ---------------------------------------------------------------------------
+
+
+def transpose(a):
+    """Transpose of a COO/CSR/BSR matrix, as a host-side one-time
+    re-encode (like every conversion here — cask analog: preprocess-time
+    stream encode, SURVEY.md §3.1).  Build the transposed matrix once and
+    reuse it; never transpose inside a hot loop.
+
+    Plan types have their own transposers: ``ops.dia.transpose_plan``,
+    ``ops.bdia.transpose_plan``, ``ops.pallas.poh_kernels.
+    poh_transpose_plan`` — or pass ``transpose=True`` to :func:`spmv` /
+    :func:`spmm`, which routes through them.
+    """
+    if isinstance(a, COO):
+        return COO(data=a.data, row=a.col, col=a.row,
+                   shape=(a.shape[1], a.shape[0]))
+    if isinstance(a, CSR):
+        c = csr_to_coo(a)
+        return coo_to_csr(
+            COO(data=c.data, row=c.col, col=c.row,
+                shape=(a.shape[1], a.shape[0])),
+            sum_duplicates=False,
+        )
+    if isinstance(a, BSR):
+        data = np.asarray(a.data)
+        indices = np.asarray(a.indices, dtype=np.int64)
+        indptr = np.asarray(a.indptr, dtype=np.int64)
+        brow = np.repeat(
+            np.arange(len(indptr) - 1, dtype=np.int64), np.diff(indptr))
+        order = np.lexsort((brow, indices))
+        new_indptr = np.zeros(a.n_block_cols + 1, dtype=np.int64)
+        np.add.at(new_indptr, indices + 1, 1)
+        br, bc = a.blocksize
+        return BSR(
+            data=np.ascontiguousarray(data[order].transpose(0, 2, 1)),
+            indices=brow[order].astype(_INT),
+            indptr=np.cumsum(new_indptr).astype(_INT),
+            shape=(a.shape[1], a.shape[0]),
+            blocksize=(bc, br),
+        )
+    raise TypeError(f"cannot transpose {type(a)}")
+
+
+# ---------------------------------------------------------------------------
 # scipy interop
 # ---------------------------------------------------------------------------
 

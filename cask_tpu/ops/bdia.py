@@ -422,6 +422,47 @@ def bdia_plan(a: Union[BSR, CSR], blocksize: Optional[Tuple[int, int]] = None,
     )
 
 
+def bdia_to_coo(a: BdiaMatrix):
+    """Host-side scalar triples of the packed matrix (plan introspection
+    and transpose builds).  Structural zeros in stored blocks drop out —
+    they carry no value and re-form at the next ``bdia_plan``."""
+    from cask_tpu.formats.matrix import COO
+
+    br, bc = a.blocksize
+    m, n = a.shape
+    vflat = np.moveaxis(np.asarray(a.vals), 2, 1).reshape(br, a.npairs, -1)
+    vflat = vflat[:, :, : a.nbr]
+    r_i, j_i, i_i = np.nonzero(vflat)
+    offs = np.asarray(a.block_offsets, dtype=np.int64)
+    d = offs[j_i // bc]
+    rows = i_i * br + r_i
+    cols = (i_i + d) * bc + (j_i % bc)
+    vals = vflat[r_i, j_i, i_i]
+    ok = (rows < m) & (cols >= 0) & (cols < n)
+    rows = np.concatenate([rows[ok], np.asarray(a.rem_row, np.int64)])
+    cols = np.concatenate([cols[ok], np.asarray(a.rem_col, np.int64)])
+    vals = np.concatenate([vals[ok], np.asarray(a.rem_data)])
+    return COO(data=vals, row=rows.astype(np.int32),
+               col=cols.astype(np.int32), shape=(m, n))
+
+
+def transpose_plan(a: BdiaMatrix, *, min_density: float = 0.10,
+                   max_block_diags: int = 64) -> BdiaMatrix:
+    """Plan for ``Aᵀ``: block offsets negate, blocks transpose, the
+    blocksize swaps.  A host-side one-time rebuild, exactly like
+    :func:`cask_tpu.ops.dia.transpose_plan` — build once and reuse;
+    iterating callers should hold both plans, not transpose per op."""
+    from cask_tpu.formats.convert import coo_to_csr
+    from cask_tpu.formats.matrix import COO
+
+    coo = bdia_to_coo(a)
+    coo_t = COO(data=coo.data, row=coo.col, col=coo.row,
+                shape=(coo.shape[1], coo.shape[0]))
+    br, bc = a.blocksize
+    return bdia_plan(coo_to_csr(coo_t), (bc, br), min_density=min_density,
+                     max_block_diags=max_block_diags)
+
+
 def estimate_bdia_traffic(a: CSR, b: int) -> Optional[Tuple[float, float]]:
     """Analytic tuner prefilter: (streamed entries, block fill fraction)
     under a (b, b) BDIA split, or None when clearly unprofitable.

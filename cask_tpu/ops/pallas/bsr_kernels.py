@@ -165,8 +165,14 @@ class BsrSpmmKernel:
 
 
 def bsr_spmm_pallas(a: BSR, x, *, transpose: bool = False):
-    """Convenience: plan + run (plan once via BsrSpmmKernel.plan for reuse)."""
+    """Convenience: plan + run (plan once via BsrSpmmKernel.plan for reuse).
+
+    ``transpose=True`` re-encodes aᵀ host-side first (a plan build) —
+    iterating callers should transpose once via
+    :func:`cask_tpu.formats.convert.transpose` and plan on the result."""
     if transpose:
-        raise NotImplementedError("transpose BSR SpMM: build a plan on aᵀ")
+        from cask_tpu.formats.convert import transpose as _t
+
+        a = _t(a)
     kern = BsrSpmmKernel.plan(a, k=int(x.shape[1]))
     return kern(x)

@@ -224,6 +224,35 @@ def poh_plan(a: CSR, *, row_panel: int = 4096, col_window=\
     )
 
 
+def poh_to_coo(p: PohMatrix):
+    """Host-side scalar triples recovered from a pack (zero slots are
+    structural padding and drop out)."""
+    from cask_tpu.formats.matrix import COO
+
+    v = np.asarray(p.vals).reshape(p.ntiles, -1)
+    r = np.asarray(p.rloc).reshape(p.ntiles, -1)
+    c = np.asarray(p.cloc).reshape(p.ntiles, -1)
+    ti, si = np.nonzero(v)
+    rows = np.asarray(p.panel, dtype=np.int64)[ti] * p.row_panel + r[ti, si]
+    cols = np.asarray(p.wlo, dtype=np.int64)[ti] * p.col_window + c[ti, si]
+    return COO(data=v[ti, si], row=rows.astype(np.int32),
+               col=cols.astype(np.int32), shape=p.shape)
+
+
+def poh_transpose_plan(p: PohMatrix, **plan_kw) -> PohMatrix:
+    """Pack for ``Aᵀ``: a host-side one-time repack (the one-hot slot
+    layout has no cheap in-place transpose).  Build once and reuse;
+    per-op transposition would pay the full pack each call."""
+    from cask_tpu.formats.convert import coo_to_csr
+    from cask_tpu.formats.matrix import COO
+
+    coo = poh_to_coo(p)
+    coo_t = COO(data=coo.data, row=coo.col, col=coo.row,
+                shape=(p.shape[1], p.shape[0]))
+    plan_kw.setdefault("tile_slots", p.slot_rows * _LANE)
+    return poh_plan(coo_to_csr(coo_t), **plan_kw)
+
+
 def poh_synth_device(*, row_panel: int = 4096, col_window: int = 1024,
                      tile_slots: int = 2048, n_panels: int = 25,
                      tiles_per_panel: int = 60, dtype=jnp.float32,

@@ -100,6 +100,20 @@ def spmm(a, x, *, transpose: bool = False, method: str = "auto",
 
     if isinstance(a, PohMatrix):
         if transpose:
-            raise NotImplementedError("transpose POH SpMM: build a plan on aᵀ")
+            from cask_tpu.ops.pallas.poh_kernels import poh_transpose_plan
+
+            a = poh_transpose_plan(a)  # one-time host repack; hold to reuse
         return a.spmm(x)
+    from cask_tpu.ops.bdia import BdiaMatrix, transpose_plan as _bdia_t
+
+    if isinstance(a, BdiaMatrix):
+        if transpose:
+            a = _bdia_t(a)
+        # BDIA has no dedicated SpMM kernel: apply the scalar-DIA SpMM
+        # machinery on the expanded scalar structure (plan-time convert)
+        from cask_tpu.formats.convert import coo_to_csr
+        from cask_tpu.ops.bdia import bdia_to_coo
+        from cask_tpu.ops.dia import dia_plan
+
+        return dia_plan(coo_to_csr(bdia_to_coo(a))).spmm(x)
     raise TypeError(f"unsupported matrix type {type(a)}")

@@ -125,7 +125,9 @@ def spmv(a, x, *, transpose: bool = False, method: str = "auto",
         from cask_tpu.ops.bdia import bdia_plan
 
         if transpose:
-            raise NotImplementedError("transpose BDIA SpMV: build a plan on aᵀ")
+            from cask_tpu.formats.convert import transpose as _t
+
+            a = _t(a)  # BSR transposes in place; blocksize swaps with it
         return bdia_plan(a, getattr(a, "blocksize", None)).spmv(x)
     if method not in ("auto", "xla"):
         raise ValueError(f"unknown spmv method {method!r}")
@@ -141,7 +143,9 @@ def spmv(a, x, *, transpose: bool = False, method: str = "auto",
 
     if isinstance(a, BdiaMatrix):
         if transpose:
-            raise NotImplementedError("transpose BDIA SpMV: build a plan on aᵀ")
+            from cask_tpu.ops.bdia import transpose_plan as _bdia_t
+
+            a = _bdia_t(a)  # one-time host rebuild; hold the plan to reuse
         return a.spmv(x)
     if isinstance(a, DiaMatrix):
         return spmv_dia(a, x, transpose=transpose, accum_dtype=accum_dtype)
@@ -149,6 +153,8 @@ def spmv(a, x, *, transpose: bool = False, method: str = "auto",
 
     if isinstance(a, PohMatrix):
         if transpose:
-            raise NotImplementedError("transpose POH SpMV: build a plan on aᵀ")
+            from cask_tpu.ops.pallas.poh_kernels import poh_transpose_plan
+
+            a = poh_transpose_plan(a)  # one-time host repack; hold to reuse
         return a.spmv(x)
     raise TypeError(f"unsupported matrix type {type(a)}")

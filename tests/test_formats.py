@@ -254,3 +254,40 @@ class TestAstype:
             # indices untouched (shared identity is fine)
             hi = lo.astype(np.float64)
             np.testing.assert_allclose(hi.todense(), lo.todense())
+
+
+class TestTranspose:
+    @pytest.mark.parametrize("shape,density", [((40, 40), 0.1), ((83, 61), 0.07), ((7, 90), 0.2)])
+    def test_transpose_coo_csr(self, shape, density):
+        from cask_tpu.formats.convert import transpose
+
+        s = _rand_scipy(*shape, density, seed=3)
+        for fmt in (None, "coo"):
+            a = from_scipy(s, format=fmt)
+            at = transpose(a)
+            assert at.shape == (shape[1], shape[0])
+            np.testing.assert_allclose(at.todense(), s.toarray().T)
+
+    @pytest.mark.parametrize("bs", [(2, 3), (4, 4)])
+    def test_transpose_bsr(self, bs):
+        from cask_tpu.formats.convert import transpose
+
+        s = _rand_scipy(37, 53, 0.15, seed=4)
+        a = csr_to_bsr(from_scipy(s), bs)
+        at = transpose(a)
+        assert at.blocksize == (bs[1], bs[0])
+        assert at.shape == (53, 37)
+        np.testing.assert_allclose(at.todense(), s.toarray().T)
+        # double transpose round-trips
+        np.testing.assert_allclose(transpose(at).todense(), a.todense())
+
+    def test_transpose_csr_indices_sorted(self):
+        from cask_tpu.formats.convert import transpose
+
+        s = _rand_scipy(64, 64, 0.1, seed=5)
+        at = transpose(from_scipy(s))
+        indptr = np.asarray(at.indptr)
+        indices = np.asarray(at.indices)
+        for i in range(at.shape[0]):
+            seg = indices[indptr[i]:indptr[i + 1]]
+            assert (np.diff(seg) > 0).all()

@@ -223,3 +223,32 @@ class TestPohDebug:
             p, cloc=jnp.asarray(np.asarray(p.cloc) + 10_000))
         with pytest.raises(AssertionError):
             check_poh(bad)
+
+
+class TestPohTranspose:
+    def test_to_coo_roundtrip(self):
+        from cask_tpu.ops.pallas.poh_kernels import poh_to_coo
+
+        a = power_law(2000, avg_degree=10, seed=6)
+        p = poh_plan(a)
+        np.testing.assert_allclose(poh_to_coo(p).todense(), to_scipy(a).toarray())
+
+    def test_transpose_plan_spmv(self):
+        from cask_tpu.ops.pallas.poh_kernels import poh_transpose_plan
+
+        a = random_uniform(1500, 2300, density=0.004, seed=7)
+        p = poh_plan(a)
+        pt = poh_transpose_plan(p)
+        assert pt.shape == (2300, 1500)
+        x = np.random.default_rng(8).standard_normal(1500).astype(a.dtype)
+        y = np.asarray(pt.spmv(jnp.asarray(x)))
+        np.testing.assert_allclose(y, to_scipy(a).T @ x, rtol=1e-10, atol=1e-10)
+
+    def test_dispatch_transpose(self):
+        from cask_tpu import spmv as _spmv
+
+        a = power_law(1200, avg_degree=8, seed=9)
+        p = poh_plan(a)
+        x = np.random.default_rng(10).standard_normal(a.shape[0]).astype(a.dtype)
+        y = np.asarray(_spmv(p, jnp.asarray(x), transpose=True))
+        np.testing.assert_allclose(y, to_scipy(a).T @ x, rtol=1e-10, atol=1e-10)

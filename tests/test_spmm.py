@@ -130,3 +130,23 @@ class TestSpmmDiaKt:
 
             y = dia_spmm_pallas_kt(d, jnp.asarray(x))
             np.testing.assert_allclose(np.asarray(y), s @ x, rtol=1e-12, atol=1e-10)
+
+
+class TestSpmmBdiaDispatch:
+    def test_bdia_matrix_spmm_and_transpose(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cask_tpu import bdia_plan, spmm
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.formats.generate import fem_blocks
+
+        a = fem_blocks(6, dof=2)
+        plan = bdia_plan(a, (2, 2))
+        k = 8
+        x = np.random.default_rng(11).standard_normal((a.shape[1], k))
+        y = spmm(plan, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-11)
+        xt = np.random.default_rng(12).standard_normal((a.shape[0], k))
+        yt = spmm(plan, jnp.asarray(xt), transpose=True)
+        np.testing.assert_allclose(np.asarray(yt), to_scipy(a).T @ xt, rtol=1e-11)

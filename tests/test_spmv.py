@@ -166,3 +166,50 @@ class TestSpmvBdiaDispatch:
         x = np.random.default_rng(1).standard_normal(a.shape[1])
         y = spmv(plan, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x, rtol=1e-11)
+
+
+class TestTransposePlans:
+    def test_bdia_transpose_plan(self):
+        from cask_tpu import bdia_plan
+        from cask_tpu.ops.bdia import bdia_to_coo, transpose_plan
+
+        a = fem_blocks(8, dof=3)
+        plan = bdia_plan(a, (3, 3))
+        # reconstruction is faithful
+        np.testing.assert_allclose(bdia_to_coo(plan).todense(), to_scipy(a).toarray())
+        pt = transpose_plan(plan)
+        assert pt.blocksize == (3, 3)
+        x = np.random.default_rng(2).standard_normal(a.shape[0])
+        y = pt.spmv(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a).T @ x, rtol=1e-11)
+
+    def test_bdia_transpose_rect_blocks(self):
+        from cask_tpu.formats.convert import transpose
+        from cask_tpu.ops.bdia import bdia_plan, transpose_plan
+
+        a = fem_blocks(6, dof=2)
+        plan = bdia_plan(a, (2, 2))
+        # dispatch-level transpose on the plan object
+        from cask_tpu import spmv as _spmv
+
+        x = np.random.default_rng(3).standard_normal(a.shape[0])
+        y = _spmv(plan, jnp.asarray(x), transpose=True)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a).T @ x, rtol=1e-11)
+
+    def test_dispatch_bdia_method_transpose_on_bsr(self):
+        a = fem_blocks(7, dof=2)
+        b = csr_to_bsr(a, (2, 2))
+        x = np.random.default_rng(4).standard_normal(a.shape[0])
+        y = spmv(b, jnp.asarray(x), method="bdia", transpose=True)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a).T @ x, rtol=1e-11)
+
+    def test_dia_transpose_rectangular(self):
+        from cask_tpu.formats.generate import random_uniform
+        from cask_tpu.ops.dia import dia_plan, transpose_plan
+
+        a = banded(97, 3, seed=9)
+        plan = dia_plan(a)
+        pt = transpose_plan(plan)
+        x = np.random.default_rng(5).standard_normal(a.shape[0])
+        np.testing.assert_allclose(
+            np.asarray(pt.spmv(jnp.asarray(x))), to_scipy(a).T @ x, rtol=1e-11)
