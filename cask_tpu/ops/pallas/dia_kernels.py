@@ -902,9 +902,13 @@ def to_spmm_ring(a: "_dia.DiaMatrix", x):
     return xp.at[p0 * tm : p0 * tm + n, :k].set(x)
 
 
-def from_spmm_ring(a: "_dia.DiaMatrix", yp, k: int):
+def from_spmm_ring(a: "_dia.DiaMatrix", yp, k: int, *, layout_dtype=None):
+    """Slice the result strip back to (m, k).  ``layout_dtype``: the
+    *input* dtype the strip geometry was planned with — it must be given
+    when the kernel's out_dtype differs (e.g. bf16 X with f32 Y), since
+    `_ring_geometry`'s VMEM budget depends on the element size."""
     kp = int(yp.shape[1])
-    db = jnp.dtype(yp.dtype).itemsize
+    db = jnp.dtype(layout_dtype if layout_dtype is not None else yp.dtype).itemsize
     tm, p0, p1 = _ring_geometry(a, kp, db)
     return yp[p0 * tm : p0 * tm + a.shape[0], :k]
 
@@ -959,7 +963,11 @@ def _spmm_ring_kernel(offsets, tm, kp, p0, T, TT, pret, x_hbm, v_ref, o_ref,
         # single o_ref store (per-piece `o_ref[slice] +=` read-modify-
         # writes the full tile through VMEM once per piece — measured as
         # the 0.36-roofline ceiling of the windowed kernel).
-        acc = jnp.zeros((tm, kp), dtype=o_ref.dtype)
+        # accumulate in (at least) f32 regardless of storage dtype: bf16
+        # X/Y/value streams halve the HBM traffic while the VPU FMAs run
+        # f32 (register upcasts are free of bandwidth)
+        acc_t = jnp.promote_types(o_ref.dtype, jnp.float32)
+        acc = jnp.zeros((tm, kp), dtype=acc_t)
         for d, off in enumerate(offsets):
             q, r = divmod(off, tm)  # floor: q in {-1, 0}, r in [0, tm)
             a_idx = jax.lax.rem(tt + jnp.int32(q), jnp.int32(4))
@@ -970,21 +978,27 @@ def _spmm_ring_kernel(offsets, tm, kp, p0, T, TT, pret, x_hbm, v_ref, o_ref,
                 b_idx = jax.lax.rem(tt + jnp.int32(q + 1), jnp.int32(4))
                 lo_part = banks[pl.ds(b_idx, 1), pl.ds(0, r), :][0]
                 sh = jnp.concatenate([hi_part, lo_part], axis=0)
-            acc = acc + vt[:, d : d + 1] * sh
-        o_ref[...] = acc
+            acc = acc + vt[:, d : d + 1].astype(acc_t) * sh.astype(acc_t)
+        o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def dia_spmm_pallas_ring_padded(a: "_dia.DiaMatrix", xp):
-    """SpMM in the shared strip layout: in and out have identical shape."""
+def dia_spmm_pallas_ring_padded(a: "_dia.DiaMatrix", xp, *, out_dtype=None):
+    """SpMM in the shared strip layout: in and out have identical shape.
+
+    ``out_dtype=None`` promotes bf16 inputs to an f32 result (the
+    library-wide accumulate policy); pass ``jnp.bfloat16`` explicitly
+    for the fully-bf16 chained pipeline (Y storage halves; the in-kernel
+    accumulate stays f32 either way)."""
     kp = int(xp.shape[1])
     D = a.ndiags
     db = jnp.dtype(xp.dtype).itemsize
     tm, p0, p1 = _ring_geometry(a, kp, db)
     T = a.m_pad // tm
     TT = p0 + T + p1
-    out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, xp.dtype), jnp.float32) \
-        if jnp.bfloat16 in (a.vals.dtype, xp.dtype) \
-        else jnp.promote_types(a.vals.dtype, xp.dtype)
+    if out_dtype is None:
+        out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, xp.dtype), jnp.float32) \
+            if jnp.bfloat16 in (a.vals.dtype, xp.dtype) \
+            else jnp.promote_types(a.vals.dtype, xp.dtype)
     pret = a.vals_t is not None
     if pret:
         v_spec = pl.BlockSpec((tm, D), lambda tt: (jnp.clip(tt - p0, 0, T - 1), 0),
@@ -1014,7 +1028,8 @@ def dia_spmm_pallas_ring_padded(a: "_dia.DiaMatrix", xp):
 def dia_spmm_pallas_ring(a: "_dia.DiaMatrix", x):
     """y = A @ x via the ring kernel (X read from HBM exactly once)."""
     k = int(x.shape[1])
-    return from_spmm_ring(a, dia_spmm_pallas_ring_padded(a, to_spmm_ring(a, x)), k)
+    return from_spmm_ring(a, dia_spmm_pallas_ring_padded(a, to_spmm_ring(a, x)),
+                          k, layout_dtype=x.dtype)
 
 
 _KT_MAX_K = 64

@@ -237,6 +237,49 @@ class TestSpmmRing:
             np.asarray(dk.from_spmm_ring(d, y2, k)), to_scipy(a) @ ref,
             rtol=1e-12, atol=1e-8)
 
+    def test_bf16_out_dtype_chained(self):
+        # fully-bf16 pipeline: bf16 value/X/Y streams, f32 in-kernel
+        # accumulate, endomorphic for chained timing
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        a = __import__("cask_tpu").generate.stencil_2d(95, dtype=np.float32)
+        d = dia_plan(a)
+        import dataclasses as _dc
+        db = _dc.replace(d, vals=jnp.asarray(d.vals, jnp.bfloat16),
+                         rem_data=jnp.asarray(d.rem_data, jnp.bfloat16))
+        k = 128
+        x = np.random.default_rng(3).standard_normal((a.shape[1], k)).astype(np.float32)
+        ref = to_scipy(a).astype(np.float32) @ x
+        xp = dk.to_spmm_ring(db, jnp.asarray(x, jnp.bfloat16))
+        yp = dk.dia_spmm_pallas_ring_padded(db, xp, out_dtype=jnp.bfloat16)
+        assert yp.dtype == jnp.bfloat16
+        assert yp.shape == xp.shape  # endomorphic: chains with no relayout
+        y = np.asarray(dk.from_spmm_ring(db, yp, k), dtype=np.float32)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(y, ref, atol=2e-2 * scale)
+        # default promotion still yields f32
+        yf = dk.dia_spmm_pallas_ring_padded(db, xp)
+        assert yf.dtype == jnp.float32
+
+    def test_bf16_in_f32_out_geometry(self):
+        # regression: from_spmm_ring must use the INPUT layout's dtype
+        # for geometry when out_dtype promotes (bf16 in, f32 out)
+        import dataclasses as _dc
+
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.pallas import dia_kernels as dk
+
+        a = __import__("cask_tpu").generate.stencil_2d(95, dtype=np.float32)
+        d = dia_plan(a)
+        db = _dc.replace(d, vals=jnp.asarray(d.vals, jnp.bfloat16),
+                         rem_data=jnp.asarray(d.rem_data, jnp.bfloat16))
+        x = np.random.default_rng(5).standard_normal((a.shape[1], 128)).astype(np.float32)
+        ref = to_scipy(a).astype(np.float32) @ x
+        y = np.asarray(db.spmm(jnp.asarray(x, jnp.bfloat16), method="pallas"),
+                       np.float32)
+        assert np.abs(y - ref).max() < 2e-2 * np.abs(ref).max()
+
     def test_dispatch_prefers_ring_at_wide_k(self):
         from cask_tpu.ops.dia import dia_plan
         from cask_tpu.ops.pallas import dia_kernels as dk
