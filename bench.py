@@ -128,7 +128,7 @@ def main():
         )
         return meas, bytes_op
 
-    def bdia_fem(dtype):
+    def bdia_fem(dtype, *, vals_dtype=None):
         # the north-star kernel: tuned BSR SpMV (BDIA resident layout)
         # on the 1M-row dof-4 FEM-block matrix — zero gathers, zero fill
         from cask_tpu.formats.device_gen import fem_bdia_device
@@ -136,11 +136,13 @@ def main():
 
         nx, dof = (512 if on_tpu else 64), 4  # CPU smoke stays interpretable
         plan = fem_bdia_device(nx, dof=dof, dtype=dtype)
-        plan = dataclasses.replace(
-            plan, vals=plan.vals * jnp.asarray(1.0 / (8.0 * dof), dtype))
+        vals = plan.vals * jnp.asarray(1.0 / (8.0 * dof), dtype)
+        if vals_dtype is not None:  # bf16 value stream, f32 x/y (chains)
+            vals = vals.astype(vals_dtype)
+        plan = dataclasses.replace(plan, vals=vals)
         nB = plan.shape[0]
         nnzB = (nx * nx + 4 * nx * (nx - 1)) * dof * dof
-        bytes_op = nnzB * jnp.dtype(dtype).itemsize + 2 * nB * 4
+        bytes_op = nnzB * jnp.dtype(vals.dtype).itemsize + 2 * nB * 4
         xB = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(0), (nB,), jnp.float32))()
         x2 = jax.jit(lambda v: plan.to_resident(v))(xB)
         meas = measure_chained(
@@ -149,6 +151,8 @@ def main():
                                 "rows": nB, "nnz": nnzB}
 
     try_variant("bdia_fem_f32", lambda: bdia_fem(jnp.float32))
+    try_variant("bdia_fem_bf16v", lambda: bdia_fem(jnp.float32,
+                                                   vals_dtype=jnp.bfloat16))
     try_variant("pallas_il_stream_f32", lambda: pallas_il_stream(jnp.float32))
     try_variant("pallas_interleaved_f32", lambda: pallas_interleaved(jnp.float32))
     try_variant("pallas_il_stream_bf16", lambda: pallas_il_stream(jnp.bfloat16))

@@ -51,6 +51,30 @@ def _round_up(x: int, m: int) -> int:
 import functools
 
 
+def _perm_mm(w, p: np.ndarray):
+    """Exact permutation matmul ``w @ p`` on the MXU.
+
+    ``p`` is 0/1 (exactly representable in bf16), so only ``w`` needs
+    splitting: an f32 value is exactly the sum of three bf16 components
+    (8 mantissa bits each), and each pass selects a single component per
+    output — three default-precision MXU passes reproduce f32 exactly,
+    at half the cost of ``precision='highest'`` (which splits both
+    operands; probe8c measured the 6-pass route at ~3x the bf16 one)."""
+    if w.dtype == jnp.float32:
+        pb = jnp.asarray(p, jnp.bfloat16)
+        c0 = w.astype(jnp.bfloat16)
+        r1 = w - c0.astype(jnp.float32)
+        c1 = r1.astype(jnp.bfloat16)
+        c2 = (r1 - c1.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jnp.matmul(c0, pb, preferred_element_type=jnp.float32)
+        out = out + jnp.matmul(c1, pb, preferred_element_type=jnp.float32)
+        return out + jnp.matmul(c2, pb, preferred_element_type=jnp.float32)
+    if w.dtype == jnp.bfloat16:
+        return jnp.matmul(w, jnp.asarray(p, jnp.bfloat16),
+                          preferred_element_type=jnp.float32).astype(w.dtype)
+    return jnp.matmul(w, jnp.asarray(p, w.dtype), precision="highest")
+
+
 @functools.lru_cache(maxsize=None)
 def _deint_perm(b: int) -> np.ndarray:
     """(128·b, 128·b) 0/1 matrix: right-multiplying a (rows, 128·b)
@@ -168,11 +192,7 @@ class BdiaMatrix:
         L = _LANE * bc
         rt = -(-self.nbc // _LANE)  # rows of 128 block-components
         xp = jnp.zeros((rt * L,), x.dtype).at[:n].set(x)
-        # precision='highest': the MXU's default bf16 input truncation
-        # would round x to 8 mantissa bits (measured relerr 2.9e-3,
-        # probe8); a permutation matmul at highest precision is exact
-        w = jnp.matmul(xp.reshape(rt, L), jnp.asarray(_deint_perm(bc), x.dtype),
-                       precision="highest")
+        w = _perm_mm(xp.reshape(rt, L), _deint_perm(bc))
         x2 = jnp.zeros((bc * seg, _LANE), x.dtype)
         for c in range(bc):
             x2 = jax.lax.dynamic_update_slice(
@@ -191,8 +211,7 @@ class BdiaMatrix:
             for r in range(br)
         ]
         v = jnp.concatenate(parts, axis=1)  # (rt, 128·br), r-major blocks
-        w = jnp.matmul(v, jnp.asarray(_deint_perm(br).T, y2.dtype),
-                       precision="highest")
+        w = _perm_mm(v, _deint_perm(br).T)
         return w.reshape(-1)[:m]
 
     @property

@@ -102,6 +102,34 @@ def _spmv_xla_bsr(a: BSR, x, transpose, accum_dtype):
         return yb.reshape(pn)[: a.shape[1]]
 
 
+def transposed(a):
+    """The transpose of ``a`` in its own format/plan family, built ONCE.
+
+    CSR/COO/BSR re-encode via :func:`cask_tpu.formats.convert.transpose`;
+    plan types (DIA/BDIA/POH) rebuild through their ``transpose_plan``.
+    Iterating algorithms that apply both A and Aᵀ (CGLS, LSQR-style
+    loops) should call this once up front instead of passing
+    ``transpose=True`` per application, which re-encodes at every trace.
+    """
+    from cask_tpu.ops.bdia import BdiaMatrix
+    from cask_tpu.ops.bdia import transpose_plan as _bdia_t
+    from cask_tpu.ops.dia import DiaMatrix
+    from cask_tpu.ops.dia import transpose_plan as _dia_t
+    from cask_tpu.ops.pallas.poh_kernels import PohMatrix, poh_transpose_plan
+
+    if isinstance(a, (CSR, COO, BSR)):
+        from cask_tpu.formats.convert import transpose as _t
+
+        return _t(a)
+    if isinstance(a, DiaMatrix):
+        return _dia_t(a)
+    if isinstance(a, BdiaMatrix):
+        return _bdia_t(a)
+    if isinstance(a, PohMatrix):
+        return poh_transpose_plan(a)
+    raise TypeError(f"cannot transpose {type(a)}")
+
+
 # ---------------------------------------------------------------------------
 # public op
 # ---------------------------------------------------------------------------

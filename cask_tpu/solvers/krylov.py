@@ -392,8 +392,11 @@ def cgls(a, b, *, at: Optional[Callable] = None, x0=None, tol: float = 1e-8,
             raise ValueError("cgls with a callable operator requires at= (x -> A^T x)")
         op, opt = a, at
     else:
+        from cask_tpu.ops.spmv import transposed
+
+        a_t = transposed(a)  # build A^T once, not per trace
         op = lambda v: spmv(a, v)  # noqa: E731
-        opt = lambda v: spmv(a, v, transpose=True)  # noqa: E731
+        opt = lambda v: spmv(a_t, v)  # noqa: E731
 
     b = jnp.asarray(b)
     s_b = opt(b)
