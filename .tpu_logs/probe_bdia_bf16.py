@@ -33,15 +33,16 @@ def err():
 t0 = time.time()
 log(f"CORRECTNESS bdia-bf16v relerr={float(err()):.3e} ({time.time()-t0:.1f}s)")
 
-best = None
+def step(v):
+    y = bdia_spmv_pallas_resident(plan, v)
+    s = jnp.max(jnp.abs(y)) + jnp.asarray(1e-30, y.dtype)
+    return (y / s).astype(v.dtype)
+
 t0 = time.time()
-for _ in range(3):
-    ms = measure_chained(lambda v: bdia_spmv_pallas_resident(plan, v), x2,
-                         k1=5, k2=60, points=3, repeats=2)
-    if np.isfinite(ms.seconds_per_iter) and (best is None or ms.seconds_per_iter < best.seconds_per_iter):
-        best = ms
-log(f"PERF bdia resident bf16-values: {best.seconds_per_iter*1e6:.1f} us "
-    f"useful_frac={useful/best.seconds_per_iter/HBM:.3f} "
-    f"gnnz={nnz_true/best.seconds_per_iter/1e9:.0f} reliable={best.reliable} "
-    f"(wall {time.time()-t0:.1f}s)")
+for i in range(4):
+    ms = measure_chained(step, x2, k1=5, k2=60, points=3, repeats=2)
+    us = ms.seconds_per_iter * 1e6
+    log(f"ATTEMPT {i}: {us:.1f} us useful_frac={useful/ms.seconds_per_iter/HBM:.3f} "
+        f"gnnz={nnz_true/ms.seconds_per_iter/1e9:.0f} reliable={ms.reliable}")
+log(f"(wall {time.time()-t0:.1f}s)")
 log("DONE")

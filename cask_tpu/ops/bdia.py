@@ -66,9 +66,15 @@ def _perm_mm(w, p: np.ndarray):
         r1 = w - c0.astype(jnp.float32)
         c1 = r1.astype(jnp.bfloat16)
         c2 = (r1 - c1.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = jnp.matmul(c0, pb, preferred_element_type=jnp.float32)
-        out = out + jnp.matmul(c1, pb, preferred_element_type=jnp.float32)
-        return out + jnp.matmul(c2, pb, preferred_element_type=jnp.float32)
+        # ONE matmul on the stacked components, summed in f32 afterwards.
+        # Three separate dots get refolded by XLA's algebraic simplifier
+        # into dot(c0+c1+c2, p) with the sum in bf16 — which is exactly
+        # the single-pass truncation again (probe8d reproduced probe8b's
+        # 2.9e-3 error bit-for-bit); concat+slice is rewrite-proof.
+        rt = w.shape[0]
+        w3 = jnp.concatenate([c0, c1, c2], axis=0)
+        o3 = jnp.matmul(w3, pb, preferred_element_type=jnp.float32)
+        return o3[:rt] + o3[rt : 2 * rt] + o3[2 * rt :]
     if w.dtype == jnp.bfloat16:
         return jnp.matmul(w, jnp.asarray(p, jnp.bfloat16),
                           preferred_element_type=jnp.float32).astype(w.dtype)
