@@ -193,11 +193,16 @@ def main():
               file=sys.stderr)
 
     fracs = {k: v["bytes"] / v["s"] / HBM_BW for k, v in results.items()}
+    # headline pool: f32-value variants only (bf16 value streams are a
+    # different accuracy class AND the relay's impossible-reading
+    # artifacts hit un-normalized bf16 chains hardest — probe_bdia_bf16
+    # read 2.6x roofline once); bf16 numbers stay in the detail record.
+    f32pool = {k: f for k, f in fracs.items() if "bf16" not in k}
     # a fraction > 1 is physically impossible — noise-corrupted timing;
     # prefer reliable+plausible > plausible > anything
-    tier1 = [k for k in fracs if results[k]["reliable"] and fracs[k] <= 1.0]
-    tier2 = [k for k in fracs if fracs[k] <= 1.0]
-    pool = tier1 or tier2 or list(fracs)
+    tier1 = [k for k in f32pool if results[k]["reliable"] and fracs[k] <= 1.0]
+    tier2 = [k for k in f32pool if fracs[k] <= 1.0]
+    pool = tier1 or tier2 or list(f32pool) or list(fracs)
     best = max(pool, key=fracs.get)
     frac = fracs[best]
     secs = results[best]["s"]

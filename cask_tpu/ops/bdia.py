@@ -60,24 +60,18 @@ def _perm_mm(w, p: np.ndarray):
     output — three default-precision MXU passes reproduce f32 exactly,
     at half the cost of ``precision='highest'`` (which splits both
     operands; probe8c measured the 6-pass route at ~3x the bf16 one)."""
-    if w.dtype == jnp.float32:
-        pb = jnp.asarray(p, jnp.bfloat16)
-        c0 = w.astype(jnp.bfloat16)
-        r1 = w - c0.astype(jnp.float32)
-        c1 = r1.astype(jnp.bfloat16)
-        c2 = (r1 - c1.astype(jnp.float32)).astype(jnp.bfloat16)
-        # ONE matmul on the stacked components, summed in f32 afterwards.
-        # Three separate dots get refolded by XLA's algebraic simplifier
-        # into dot(c0+c1+c2, p) with the sum in bf16 — which is exactly
-        # the single-pass truncation again (probe8d reproduced probe8b's
-        # 2.9e-3 error bit-for-bit); concat+slice is rewrite-proof.
-        rt = w.shape[0]
-        w3 = jnp.concatenate([c0, c1, c2], axis=0)
-        o3 = jnp.matmul(w3, pb, preferred_element_type=jnp.float32)
-        return o3[:rt] + o3[rt : 2 * rt] + o3[2 * rt :]
     if w.dtype == jnp.bfloat16:
         return jnp.matmul(w, jnp.asarray(p, jnp.bfloat16),
                           preferred_element_type=jnp.float32).astype(w.dtype)
+    # f32/f64: precision='highest' — measured EXACT on hardware
+    # (probe8c, relerr 0.0 end-to-end) at 6 MXU passes.  Cheaper 3-pass
+    # bf16-split formulations are mathematically exact but NOT stable
+    # under XLA:TPU's simplifier: three dots refold into dot(Σcᵢ) with
+    # the sum in bf16 (probe8d), dot(concat) re-splits and refolds the
+    # same way (probe8e), and even with an optimization_barrier the
+    # split survived at one call site but truncated at another
+    # (probe9: to_resident exact, from_resident 2.8e-3).  Don't
+    # re-attempt the split without per-call-site hardware verification.
     return jnp.matmul(w, jnp.asarray(p, w.dtype), precision="highest")
 
 
