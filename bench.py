@@ -225,8 +225,17 @@ def main():
             "backend": ("tpu" if on_tpu else "cpu"),
             "on_tpu": on_tpu,
             "reliable": results[best]["reliable"],
-            "all_variants_us": {k: round(v["s"] * 1e6, 2) for k, v in results.items()},
-            "all_variants_frac": {k: round(f, 4) for k, f in fracs.items()},
+            # per-variant records each carry their OWN matrix: the bench
+            # mixes stencil5 (dia variants) and fem_dof4 (bdia variants)
+            # matrices, and cross-matrix fraction comparisons are
+            # meaningless without the tag (VERDICT r2 weak-4)
+            "all_variants": {
+                k: {"us": round(v["s"] * 1e6, 2),
+                    "frac": round(fracs[k], 4),
+                    "matrix": v["meta"]["matrix"],
+                    "reliable": v["reliable"]}
+                for k, v in results.items()
+            },
             "unstructured": unstructured,
             "wall_s": round(time.time() - t_start, 1),
         },

@@ -470,6 +470,21 @@ def bdia_to_coo(a: BdiaMatrix):
                col=cols.astype(np.int32), shape=(m, n))
 
 
+def bdia_scalar_dia(a: BdiaMatrix):
+    """The scalar-DIA plan of the expanded block structure, memoized on
+    the instance (host-side conversion; repeated ``spmm`` calls in a
+    solver loop must not re-plan per call — ADVICE r2).  Requires
+    concrete (non-tracer) leaves, like every host planning step."""
+    cached = getattr(a, "_scalar_dia_cache", None)
+    if cached is None:
+        from cask_tpu.formats.convert import coo_to_csr
+        from cask_tpu.ops.dia import dia_plan
+
+        cached = dia_plan(coo_to_csr(bdia_to_coo(a)))
+        object.__setattr__(a, "_scalar_dia_cache", cached)
+    return cached
+
+
 def transpose_plan(a: BdiaMatrix, *, min_density: float = 0.10,
                    max_block_diags: int = 64) -> BdiaMatrix:
     """Plan for ``Aᵀ``: block offsets negate, blocks transpose, the

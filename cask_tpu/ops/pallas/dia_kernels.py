@@ -863,14 +863,29 @@ def dia_spmm_pallas_padded(a: "_dia.DiaMatrix", xp):
 # ---------------------------------------------------------------------------
 
 
-def _ring_geometry(a: "_dia.DiaMatrix", kp: int, db: int):
+def _ring_out_dtype(a: "_dia.DiaMatrix", in_dtype):
+    """The library-wide accumulate policy: bf16 streams promote to f32."""
+    if jnp.bfloat16 in (a.vals.dtype, jnp.dtype(in_dtype)):
+        return jnp.promote_types(jnp.promote_types(a.vals.dtype, in_dtype),
+                                 jnp.float32)
+    return jnp.promote_types(a.vals.dtype, in_dtype)
+
+
+def _ring_geometry(a: "_dia.DiaMatrix", kp: int, db_in: int,
+                   db_out: Optional[int] = None):
+    # db_out: element size of the (possibly promoted) output/accumulator
+    # tile — with bf16 input the f32 out tile costs 2x db_in, so budgeting
+    # everything at db_in could exceed VMEM on hardware (ADVICE r2).
+    db_out = db_in if db_out is None else db_out
     lo = -min(min(a.offsets), 0)
     hi = max(max(a.offsets), 0)
     for tm in (4096, 2048, 1024, 512, 256):
         if a.m_pad % tm or lo > tm or hi > tm:
             continue
-        # 4 ring banks + double-buffered out tile + value tiles
-        need = (4 * tm + 3 * tm) * kp * db + 2 * a.ndiags * tm * db
+        # 4 ring banks (input dtype) + double-buffered out tile + one
+        # accumulator temp (out dtype) + value tiles (input dtype)
+        need = 4 * tm * kp * db_in + 3 * tm * kp * db_out \
+            + 2 * a.ndiags * tm * db_in
         if need <= _SPMM_VMEM_BUDGET:
             p0 = -(-lo // tm) if lo else 1  # >=1 so strip tt-1 exists
             p1 = -(-(hi + 1) // tm)
@@ -882,34 +897,57 @@ def ring_ok(a: "_dia.DiaMatrix", k: int) -> bool:
     if not a.offsets or a.ndiags > _MAX_UNROLL_DIAGS:
         return False
     kp = max(_LANE, -(-k // _LANE) * _LANE)
-    return _ring_geometry(a, kp, 4) is not None
+    return _ring_geometry(a, kp, 4, 4) is not None
 
 
-def spmm_ring_rows(a: "_dia.DiaMatrix", kp: int, db: int) -> int:
-    tm, p0, p1 = _ring_geometry(a, kp, db)
+def spmm_ring_rows(a: "_dia.DiaMatrix", kp: int, db: int,
+                   db_out: Optional[int] = None) -> int:
+    tm, p0, p1 = _ring_geometry(a, kp, db, db_out)
     return (p0 + a.m_pad // tm + p1) * tm
 
 
-def to_spmm_ring(a: "_dia.DiaMatrix", x):
-    """(n, k) dense block → the strip-aligned (rows, kp) layout."""
+def to_spmm_ring(a: "_dia.DiaMatrix", x, *, out_dtype=None):
+    """(n, k) dense block → the strip-aligned (rows, kp) layout.
+
+    ``out_dtype`` must match what the later ``dia_spmm_pallas_ring_padded``
+    call will produce (both default to the same promote policy, so
+    matching is automatic unless you override one of them)."""
     n = a.shape[1]
     k = int(x.shape[1])
     kp = max(_LANE, -(-k // _LANE) * _LANE)
     db = jnp.dtype(x.dtype).itemsize
-    tm, p0, p1 = _ring_geometry(a, kp, db)
+    dbo = jnp.dtype(out_dtype if out_dtype is not None
+                    else _ring_out_dtype(a, x.dtype)).itemsize
+    tm, p0, p1 = _ring_geometry(a, kp, db, dbo)
     rows = (p0 + a.m_pad // tm + p1) * tm
     xp = jnp.zeros((rows, kp), x.dtype)
     return xp.at[p0 * tm : p0 * tm + n, :k].set(x)
 
 
 def from_spmm_ring(a: "_dia.DiaMatrix", yp, k: int, *, layout_dtype=None):
-    """Slice the result strip back to (m, k).  ``layout_dtype``: the
-    *input* dtype the strip geometry was planned with — it must be given
-    when the kernel's out_dtype differs (e.g. bf16 X with f32 Y), since
-    `_ring_geometry`'s VMEM budget depends on the element size."""
+    """Slice the result strip back to (m, k).
+
+    ``layout_dtype``: the *input* dtype the strip geometry was planned
+    with (the geometry depends on element sizes).  When omitted it is
+    inferred by matching candidate geometries against ``yp``'s row count;
+    an ambiguous match raises instead of silently slicing wrong rows
+    (ADVICE r2)."""
     kp = int(yp.shape[1])
-    db = jnp.dtype(layout_dtype if layout_dtype is not None else yp.dtype).itemsize
-    tm, p0, p1 = _ring_geometry(a, kp, db)
+    dbo = jnp.dtype(yp.dtype).itemsize
+    if layout_dtype is not None:
+        tm, p0, p1 = _ring_geometry(a, kp, jnp.dtype(layout_dtype).itemsize, dbo)
+    else:
+        fits = {}
+        for db_in in (1, 2, 4, 8):
+            g = _ring_geometry(a, kp, db_in, dbo)
+            if g is not None and (g[1] + a.m_pad // g[0] + g[2]) * g[0] == yp.shape[0]:
+                fits[g] = db_in
+        if len(fits) != 1:
+            raise ValueError(
+                "from_spmm_ring: strip geometry is ambiguous for this row "
+                "count — pass layout_dtype= (the input dtype the strip was "
+                "built with)")
+        ((tm, p0, p1),) = fits
     return yp[p0 * tm : p0 * tm + a.shape[0], :k]
 
 
@@ -991,14 +1029,12 @@ def dia_spmm_pallas_ring_padded(a: "_dia.DiaMatrix", xp, *, out_dtype=None):
     accumulate stays f32 either way)."""
     kp = int(xp.shape[1])
     D = a.ndiags
+    if out_dtype is None:
+        out_dtype = _ring_out_dtype(a, xp.dtype)
     db = jnp.dtype(xp.dtype).itemsize
-    tm, p0, p1 = _ring_geometry(a, kp, db)
+    tm, p0, p1 = _ring_geometry(a, kp, db, jnp.dtype(out_dtype).itemsize)
     T = a.m_pad // tm
     TT = p0 + T + p1
-    if out_dtype is None:
-        out_dtype = jnp.promote_types(jnp.promote_types(a.vals.dtype, xp.dtype), jnp.float32) \
-            if jnp.bfloat16 in (a.vals.dtype, xp.dtype) \
-            else jnp.promote_types(a.vals.dtype, xp.dtype)
     pret = a.vals_t is not None
     if pret:
         v_spec = pl.BlockSpec((tm, D), lambda tt: (jnp.clip(tt - p0, 0, T - 1), 0),

@@ -109,11 +109,10 @@ def spmm(a, x, *, transpose: bool = False, method: str = "auto",
     if isinstance(a, BdiaMatrix):
         if transpose:
             a = _bdia_t(a)
-        # BDIA has no dedicated SpMM kernel: apply the scalar-DIA SpMM
-        # machinery on the expanded scalar structure (plan-time convert)
-        from cask_tpu.formats.convert import coo_to_csr
-        from cask_tpu.ops.bdia import bdia_to_coo
-        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.bdia import bdia_scalar_dia
 
-        return dia_plan(coo_to_csr(bdia_to_coo(a))).spmm(x)
+        # scalar-DIA SpMM on the expanded structure; the host-side plan
+        # conversion is memoized on the BdiaMatrix so repeated spmm calls
+        # (solver loops) pay it once, not per call (ADVICE r2)
+        return bdia_scalar_dia(a).spmm(x)
     raise TypeError(f"unsupported matrix type {type(a)}")

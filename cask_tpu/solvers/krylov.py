@@ -392,11 +392,20 @@ def cgls(a, b, *, at: Optional[Callable] = None, x0=None, tol: float = 1e-8,
             raise ValueError("cgls with a callable operator requires at= (x -> A^T x)")
         op, opt = a, at
     else:
-        from cask_tpu.ops.spmv import transposed
+        from cask_tpu.formats.matrix import BSR, COO, CSR
 
-        a_t = transposed(a)  # build A^T once, not per trace
-        op = lambda v: spmv(a, v)  # noqa: E731
-        opt = lambda v: spmv(a_t, v)  # noqa: E731
+        if isinstance(a, (CSR, COO, BSR)):
+            # index-swap transpose: zero-cost per trace AND fully
+            # traceable, so a jit-wrapped cgls works on these formats
+            # (transposed() does host-side re-encoding — ADVICE r2)
+            op = lambda v: spmv(a, v)  # noqa: E731
+            opt = lambda v: spmv(a, v, transpose=True)  # noqa: E731
+        else:
+            from cask_tpu.ops.spmv import transposed
+
+            a_t = transposed(a)  # plan types: build A^T once, not per trace
+            op = lambda v: spmv(a, v)  # noqa: E731
+            opt = lambda v: spmv(a_t, v)  # noqa: E731
 
     b = jnp.asarray(b)
     s_b = opt(b)

@@ -321,6 +321,14 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
                                   calib=poh_equiv_bytes(cache))
     variants.sort(key=lambda v: v.est_bytes)
     candidates = variants[: max(time_budget, 1)]
+    # diversity rule (VERDICT r2 weak-5): a mis-ranked prefilter (e.g. an
+    # uncalibrated new backend) must never drop the best *XLA* variant
+    # from timing — it is the variant class that always builds, so timing
+    # it bounds the damage of any analytic-model error.
+    if not any("_xla" in v.name for v in candidates):
+        xla = next((v for v in variants if "_xla" in v.name), None)
+        if xla is not None:
+            candidates.append(xla)
 
     n = a.shape[1]
     rng = np.random.default_rng(0)
@@ -348,12 +356,15 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
         return measure_chained(step, x0, k1=5, k2=60, points=3, repeats=2)
 
     best = None  # (reliable_rank, seconds, var, dev, fn)
+    timings = {}  # every variant's measurement persists in the cache
     for var in candidates:
         try:
             dev, fn, info = var.build_full(a, k)
             meas = _time(fn)
             log.info("tune %s: variant=%s t=%.3g s/op reliable=%s",
                      cache_key, var.name, meas.seconds_per_iter, meas.reliable)
+            timings[var.name] = {"seconds_per_op": meas.seconds_per_iter,
+                                 "reliable": bool(meas.reliable)}
             if not np.isfinite(meas.checksum):
                 continue
             # a reliable measurement outranks ANY unreliable one: the
@@ -372,7 +383,8 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
 
     (_, secs), var, dev, fn, info = best
     cache.put(cache_key, {"variant": var.name, "seconds_per_op": secs,
-                          "shape": list(a.shape), "nnz": int(a.nnz)})
+                          "shape": list(a.shape), "nnz": int(a.nnz),
+                          "timings": timings})
     return TunedSpmv(variant=var.name, matrix=dev, _fn=fn,
                      signature_key=cache_key, seconds_per_op=secs,
                      perm=info.get("perm"), _inner_fn=info.get("inner_fn"))

@@ -42,6 +42,35 @@ class TestDistPipelinedCG:
         assert abs(int(pipe.iterations) - int(ref.iterations)) <= 5
 
 
+class TestDist2DSolver:
+    """CG over the 2-D SUMMA operator via its ``padded_op`` (the solver
+    path the 1-D plans always had — VERDICT r2 item 9)."""
+
+    @pytest.mark.parametrize("pr,pc", [(2, 2), (4, 2), (2, 4)])
+    def test_cg_over_summa(self, pr, pc):
+        from cask_tpu.parallel import Dist2DSpmv, mesh_2d, partition_2d
+
+        a = stencil_2d(20)
+        op2 = Dist2DSpmv(partition_2d(a, pr, pc), mesh_2d(pr, pc))
+        assert op2.square_padded
+        rng = np.random.default_rng(3)
+        b = rng.standard_normal(a.shape[0])
+        bp = op2.padded_x(b)
+        res = cg(op2.padded_op, bp, tol=1e-10, maxiter=600)
+        assert bool(res.converged)
+        x = np.asarray(res.x)[: a.shape[0]]
+        np.testing.assert_allclose(to_scipy(a) @ x, b, rtol=1e-7, atol=1e-8)
+
+    def test_padded_op_requires_square(self):
+        from cask_tpu.formats.generate import random_uniform
+        from cask_tpu.parallel import Dist2DSpmv, mesh_2d, partition_2d
+
+        a = random_uniform(40, 64, density=0.2, seed=0)
+        op2 = Dist2DSpmv(partition_2d(a, 2, 2), mesh_2d(2, 2))
+        with pytest.raises(ValueError, match="square"):
+            op2.padded_op(op2.padded_x(np.zeros(64)))
+
+
 @pytest.mark.parametrize("p", [2, 8])
 class TestDistBlockCG:
     def test_multi_rhs_matches_dense_solve(self, p):

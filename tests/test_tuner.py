@@ -82,6 +82,21 @@ class TestTune:
         t2 = tune(a, k=32, cache=tmp_tuner_cache, time_budget=1)
         assert t1.signature_key != t2.signature_key
 
+    def test_diversity_rule_times_best_xla(self, tmp_tuner_cache):
+        # time_budget=1 on a matrix whose top analytic candidate is a
+        # Pallas variant: the best XLA variant must STILL be timed (a
+        # mis-ranked prefilter must not silently exclude the fallback
+        # class — VERDICT r2 weak-5), and every timed variant's
+        # measurement must persist in the cache entry.
+        a = fem_blocks(8, dof=4)
+        t = tune(a, cache=tmp_tuner_cache, time_budget=1, include_pallas=True)
+        entry = tmp_tuner_cache.get(t.signature_key)
+        timings = entry["timings"]
+        assert any("_xla" in name for name in timings)
+        assert len(timings) >= 2
+        for rec in timings.values():
+            assert "seconds_per_op" in rec and "reliable" in rec
+
 
 class TestMeasure:
     def test_linear_and_reliable_on_cpu(self):
@@ -251,7 +266,7 @@ class TestReorderedApi:
         ref = x.copy()
         for _ in range(3):
             ref = s @ ref
-        np.testing.assert_allclose(np.asarray(xr)[np.argsort(perm)][np.argsort(np.argsort(perm))], np.asarray(xr), rtol=0)  # sanity: shapes line up
+        assert sorted(perm) == list(range(len(x)))  # perm is a true permutation
         np.testing.assert_allclose(np.asarray(xr)[np.argsort(perm)], ref, rtol=1e-12, atol=1e-10)
 
         tuned = TunedSpmv(variant="rcm:dia_xla", matrix=dev, _fn=fn,
