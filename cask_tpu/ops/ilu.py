@@ -84,10 +84,35 @@ class ILU0Factors:
     _lower_data: np.ndarray  # values rearranged for each plan's pattern
     _upper_data: np.ndarray
 
-    def apply(self, b):
-        """Preconditioner solve  x = U⁻¹ L⁻¹ b  (jittable)."""
+    def apply(self, b, *, method: str = "levels", sweeps: int = 5):
+        """Preconditioner solve  x = U⁻¹ L⁻¹ b  (jittable).
+
+        ``method='jacobi'`` replaces each exact triangular solve with
+        ``sweeps`` Jacobi–Richardson sweeps (SpMV-class parallel ops —
+        the TPU-usable ILU apply, VERDICT r2 item 4); 'levels' is the
+        exact wavefront solve."""
+        if method == "jacobi":
+            lp, up = self._jacobi_plans()
+            return up.solve(lp.solve(b, sweeps=sweeps), sweeps=sweeps)
         y = self._lower_plan.solve(self._lower_data, b)
         return self._upper_plan.solve(self._upper_data, y)
+
+    def jacobi_applier(self, sweeps: int = 5):
+        """A jit-friendly ``r → M⁻¹r`` callable using sweep solves —
+        pass as ``M=`` to the Krylov solvers."""
+        lp, up = self._jacobi_plans()
+        return lambda r: up.solve(lp.solve(r, sweeps=sweeps), sweeps=sweeps)
+
+    def _jacobi_plans(self):
+        cached = getattr(self, "_jacobi_cache", None)
+        if cached is None:
+            from cask_tpu.ops.trisolve import jacobi_trisolve_plan
+
+            low, up = self.split()
+            cached = (jacobi_trisolve_plan(low, lower=True, unit_diag=True),
+                      jacobi_trisolve_plan(up, lower=False, unit_diag=False))
+            object.__setattr__(self, "_jacobi_cache", cached)
+        return cached
 
     def split(self):
         """Return (L with unit diag, U) as separate host CSRs."""

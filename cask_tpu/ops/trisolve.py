@@ -243,14 +243,117 @@ def trisolve_plan(a: CSR, *, lower: bool = True, unit_diag: bool = False) -> Tri
     )
 
 
+# ---------------------------------------------------------------------------
+# Iterative (Jacobi–Richardson) triangular solve — the accelerator answer
+# to the level-scheduling latency wall (PERF.md "Trisolve": ~68 µs *per
+# level* makes exact wavefront sweeps 3–4 orders off the per-iteration
+# budget on v5e).  Split A = D + N (diagonal + strict triangle) and
+# iterate  x⁽ᵏ⁺¹⁾ = D⁻¹(b − N x⁽ᵏ⁾): each sweep is ONE SpMV-class, fully
+# parallel op (a DIA-plan kernel when the triangle is banded), no levels,
+# no scan.  The iteration matrix D⁻¹N is strictly triangular, hence
+# NILPOTENT — the sweep is exact after n steps and, for the diagonally
+# dominant factors ILU(0)/IC(0) produce on PDE matrices, accurate to
+# preconditioner quality in ~3–10 sweeps (Anzt et al., ISC 2015-style
+# iterative triangular solves).  This is what turns ILU from
+# "correct but measured-unusable" into a usable TPU preconditioner
+# (VERDICT r2 item 4).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class JacobiTriSolvePlan:
+    """Strict-triangle operator + inverse diagonal for sweep solves.
+
+    ``strict`` is the planned N (a DIA plan when the triangle is banded —
+    the fast path — else a device CSR riding the gather formulation);
+    values are baked in at plan time (re-plan to re-bind, like every
+    host-planned structure).
+    """
+
+    n: int
+    lower: bool
+    unit_diag: bool
+    strict: object  # DiaMatrix or CSR (device) for N = A - D
+    dinv: Optional[jax.Array]  # None for unit_diag
+
+    def solve(self, b, *, sweeps: int = 5):
+        """``sweeps`` Jacobi–Richardson iterations toward ``A x = b``
+        (jittable; ``b`` may be (n,) or (n, k))."""
+        from cask_tpu.ops.spmv import spmv
+        from cask_tpu.ops.spmm import spmm
+
+        b = jnp.asarray(b)
+        op = (lambda v: spmv(self.strict, v)) if b.ndim == 1 else \
+            (lambda v: spmm(self.strict, v))
+        if self.unit_diag:
+            scale = lambda v: v  # noqa: E731
+        elif b.ndim == 1:
+            scale = lambda v: v * self.dinv  # noqa: E731
+        else:
+            scale = lambda v: v * self.dinv[:, None]  # noqa: E731
+        x = scale(b)
+
+        def body(_, x):
+            return scale(b - op(x))
+
+        return jax.lax.fori_loop(0, sweeps, body, x)
+
+
+def jacobi_trisolve_plan(a: CSR, *, lower: bool = True,
+                         unit_diag: bool = False) -> JacobiTriSolvePlan:
+    """Plan the sweep solve: split D / strict-N on the host, route N
+    through the DIA plan when banded (zero-gather sweeps)."""
+    n = a.shape[0]
+    if a.shape[0] != a.shape[1]:
+        raise ValueError("triangular solve needs a square matrix")
+    rows, cols, strict, diag_idx = _split_triangle(a, lower)
+    if not unit_diag and np.any(diag_idx < 0):
+        raise ValueError("zero diagonal entry (missing from pattern)")
+    data = np.asarray(a.data)
+    dinv = None
+    if not unit_diag:
+        d = data[diag_idx]
+        if np.any(d == 0):
+            raise ValueError("zero diagonal entry")
+        dinv = jnp.asarray(1.0 / d)
+
+    from cask_tpu.formats.convert import coo_from_arrays, coo_to_csr
+
+    n_csr = coo_to_csr(coo_from_arrays(
+        data[strict], rows[strict], cols[strict], (n, n)),
+        sum_duplicates=False)
+    from cask_tpu.ops.dia import dia_plan, estimate_dia_traffic
+
+    if n_csr.nnz and estimate_dia_traffic(n_csr) is not None:
+        strict_op = dia_plan(n_csr).device_put()
+    else:
+        strict_op = n_csr.device_put()
+    return JacobiTriSolvePlan(n=n, lower=lower, unit_diag=unit_diag,
+                              strict=strict_op, dinv=dinv)
+
+
 def trisolve(a: CSR, b, *, lower: bool = True, unit_diag: bool = False,
-             plan: Optional[TriSolvePlan] = None):
+             method: str = "levels", sweeps: int = 5,
+             plan: Optional[object] = None):
     """Solve the sparse triangular system ``a x = b``.
 
-    Build (or pass) a :class:`TriSolvePlan`; the solve itself is jittable
-    and lives on device.  For repeated solves with one pattern (the
+    ``method='levels'``: exact level-scheduled wavefront solve (host plan
+    + one ``lax.scan``) — correct everywhere, latency-bound on TPU.
+    ``method='jacobi'``: ``sweeps`` Jacobi–Richardson iterations, each an
+    SpMV-class parallel op — the TPU-fast approximate solve for
+    preconditioner application (exact once ``sweeps ≥ n``, accurate much
+    sooner on diagonally dominant triangles).
+
+    Build (or pass) the matching plan; the solve itself is jittable and
+    lives on device.  For repeated solves with one pattern (the
     preconditioner case) keep the plan.
     """
+    if method == "jacobi":
+        if plan is None:
+            plan = jacobi_trisolve_plan(a, lower=lower, unit_diag=unit_diag)
+        return plan.solve(b, sweeps=sweeps)
+    if method != "levels":
+        raise ValueError(f"unknown trisolve method {method!r}")
     if plan is None:
         plan = trisolve_plan(a, lower=lower, unit_diag=unit_diag)
     return plan.solve(jnp.asarray(a.data), b)

@@ -6,15 +6,26 @@ solvers.  ILU(0) (the strongest of these) lives in
 work distributed (Jacobi is embarrassingly parallel; block-Jacobi's
 blocks live within shards).
 
-**TPU guidance (measured, PERF.md probe3):** level-scheduled triangular
-solves — and therefore ILU(0)/IC(0)/SSOR *application* — are 3–4 orders
-of magnitude off the per-iteration budget on v5e (143 ms vs Jacobi-PCG's
-22 µs at 262k rows): the wavefront serializes into ~2·√n scan steps
-whose fixed per-step cost never amortizes, and no realistic iteration
-saving recovers it.  Prefer :func:`jacobi`, :func:`block_jacobi`,
-:func:`chebyshev_precond`, or :mod:`cask_tpu.solvers.amg`; keep the
-trisolve-based preconditioners for correctness tests, small systems, and
-many-RHS batches (the level sweep batches over trailing axes for free).
+**TPU guidance (measured, PERF.md probe3 + probe_jtri1):**
+*level-scheduled* (exact) triangular solves — and therefore the exact
+ILU(0)/IC(0)/SSOR applies — are 3–4 orders of magnitude off the
+per-iteration budget on v5e (143 ms vs Jacobi-PCG's 22 µs at 262k
+rows): the wavefront serializes into ~2·√n scan steps whose fixed
+per-step cost never amortizes.  The *usable* ILU apply is
+``method='jacobi'`` (Jacobi–Richardson sweep solves, each sweep one
+SpMV-class parallel op): measured 114.8 µs/apply at s=2 on the 1.05M-row
+stencil — **~1250× cheaper than the exact apply** — which makes ILU-PCG
+competitive again.  Measured crossover: ILU-jac(2)-PCG ties diag-Jacobi
+on the isotropic Poisson (127 vs 122 ms to 1e-6) and **wins ~10% on an
+anisotropic (ε=0.01) Poisson** where it cuts iterations 2.9× (1327 vs
+3824); the rule of thumb is ILU pays on TPU when it cuts iterations by
+more than the ~2.6× per-iteration overhead (133.6 vs 50.7 µs/iter
+measured).  Default to :func:`jacobi` / :func:`block_jacobi` /
+:func:`chebyshev_precond` / :mod:`cask_tpu.solvers.amg` on
+well-conditioned isotropic problems; reach for
+``ilu0(a).jacobi_applier(sweeps=2)`` on anisotropic / line-coupled
+systems.  Keep ``method='levels'`` for correctness tests, small
+systems, and many-RHS batches.
 """
 
 from __future__ import annotations
@@ -105,10 +116,33 @@ class IC0Factors:
     _lower_data: np.ndarray
     _upper_data: np.ndarray
 
-    def apply(self, b):
-        """Preconditioner solve ``x = L_c⁻ᵀ L_c⁻¹ b`` (jittable, symmetric)."""
+    def apply(self, b, *, method: str = "levels", sweeps: int = 5):
+        """Preconditioner solve ``x = L_c⁻ᵀ L_c⁻¹ b`` (jittable, symmetric).
+
+        ``method='jacobi'`` uses sweep solves (see
+        :meth:`cask_tpu.ops.ilu.ILU0Factors.apply`)."""
+        if method == "jacobi":
+            lp, up = self._jacobi_plans()
+            return up.solve(lp.solve(b, sweeps=sweeps), sweeps=sweeps)
         y = self._lower_plan.solve(self._lower_data, b)
         return self._upper_plan.solve(self._upper_data, y)
+
+    def jacobi_applier(self, sweeps: int = 5):
+        """``r → M⁻¹r`` via Jacobi–Richardson sweep solves (TPU-fast)."""
+        lp, up = self._jacobi_plans()
+        return lambda r: up.solve(lp.solve(r, sweeps=sweeps), sweeps=sweeps)
+
+    def _jacobi_plans(self):
+        cached = getattr(self, "_jacobi_cache", None)
+        if cached is None:
+            from cask_tpu.formats.convert import from_scipy, to_scipy
+            from cask_tpu.ops.trisolve import jacobi_trisolve_plan
+
+            lct = from_scipy(to_scipy(self.l).T.tocsr())
+            cached = (jacobi_trisolve_plan(self.l, lower=True, unit_diag=False),
+                      jacobi_trisolve_plan(lct, lower=False, unit_diag=False))
+            object.__setattr__(self, "_jacobi_cache", cached)
+        return cached
 
 
 def ic0(a: CSR) -> IC0Factors:

@@ -223,3 +223,97 @@ class TestIlu0Device:
                                        np.array([1, 0]), (2, 2)))
         with pytest.raises(ValueError):
             ilu0_device_plan(a)
+
+
+class TestJacobiTrisolve:
+    """Iterative (Jacobi–Richardson) sweep solve — the TPU-fast
+    approximate trisolve (VERDICT r2 item 4)."""
+
+    @pytest.mark.parametrize("lower", [True, False])
+    def test_exact_after_n_sweeps(self, lower):
+        # the iteration matrix is strictly triangular (nilpotent):
+        # n sweeps reproduce the exact solve on ANY triangle
+        s = _tri_scipy(60, 0.08, lower=lower, seed=5)
+        a = from_scipy(s)
+        b = np.random.default_rng(6).standard_normal(60)
+        x = trisolve(a, b, lower=lower, method="jacobi", sweeps=60)
+        ref = spla.spsolve_triangular(s.tocsr(), b, lower=lower)
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-9, atol=1e-9)
+
+    def test_error_decays_with_sweeps(self):
+        # diagonally dominant triangle: each sweep contracts the error
+        s = _tri_scipy(200, 0.03, lower=True, seed=7)
+        s = (s + 5.0 * sp.eye(200)).tocsr()
+        a = from_scipy(s)
+        b = np.random.default_rng(8).standard_normal(200)
+        ref = spla.spsolve_triangular(s, b, lower=True)
+        errs = []
+        for sweeps in (1, 3, 6):
+            x = np.asarray(trisolve(a, b, lower=True, method="jacobi",
+                                    sweeps=sweeps))
+            errs.append(np.linalg.norm(x - ref) / np.linalg.norm(ref))
+        assert errs[1] < errs[0] * 0.3
+        assert errs[2] < errs[1] * 0.3
+
+    def test_unit_diag_and_batch(self):
+        s = _tri_scipy(80, 0.05, lower=True, seed=9, unit=True)
+        a = from_scipy(s)
+        B = np.random.default_rng(10).standard_normal((80, 3))
+        X = trisolve(a, B, lower=True, unit_diag=True, method="jacobi",
+                     sweeps=80)
+        for j in range(3):
+            ref = spla.spsolve_triangular(s.tocsr(), B[:, j], lower=True)
+            np.testing.assert_allclose(np.asarray(X)[:, j], ref,
+                                       rtol=1e-9, atol=1e-9)
+
+    def test_banded_routes_through_dia(self):
+        from cask_tpu.ops.dia import DiaMatrix
+        from cask_tpu.ops.trisolve import jacobi_trisolve_plan
+
+        s = to_scipy(stencil_2d(12))
+        low = from_scipy(sp.tril(s, k=0).tocsr())
+        plan = jacobi_trisolve_plan(low, lower=True)
+        assert isinstance(plan.strict, DiaMatrix)  # banded strict part
+        b = np.random.default_rng(11).standard_normal(144)
+        x = np.asarray(plan.solve(b, sweeps=144))
+        ref = spla.spsolve_triangular(sp.tril(s, k=0).tocsr(), b, lower=True)
+        np.testing.assert_allclose(x, ref, rtol=1e-8, atol=1e-9)
+
+    def test_ilu_jacobi_apply_matches_exact_apply(self):
+        a = stencil_2d(14)
+        f = ilu0(a)
+        b = np.random.default_rng(12).standard_normal(a.shape[0])
+        exact = np.asarray(f.apply(b))
+        approx = np.asarray(f.apply(b, method="jacobi", sweeps=a.shape[0]))
+        np.testing.assert_allclose(approx, exact, rtol=1e-8, atol=1e-9)
+        # few sweeps: preconditioner-quality agreement on this
+        # diagonally dominant factor pair
+        rough = np.asarray(f.apply(b, method="jacobi", sweeps=8))
+        assert np.linalg.norm(rough - exact) / np.linalg.norm(exact) < 0.05
+
+    def test_ilu_jacobi_pcg_converges_and_cuts_iterations(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.solvers import cg
+
+        a = stencil_2d(24)
+        f = ilu0(a)
+        dev = a.device_put()
+        b = np.random.default_rng(13).standard_normal(a.shape[0])
+        plain = cg(dev, jnp.asarray(b), tol=1e-8, maxiter=2000)
+        pre = cg(dev, jnp.asarray(b), tol=1e-8, maxiter=2000,
+                 M=f.jacobi_applier(sweeps=4))
+        assert bool(pre.converged)
+        assert int(pre.iterations) < int(plain.iterations) * 0.55
+        x = np.asarray(pre.x)
+        np.testing.assert_allclose(to_scipy(a) @ x, b, rtol=1e-5, atol=1e-6)
+
+    def test_ic0_jacobi_apply(self):
+        from cask_tpu.solvers.precond import ic0
+
+        a = stencil_2d(12)
+        f = ic0(a)
+        b = np.random.default_rng(14).standard_normal(a.shape[0])
+        exact = np.asarray(f.apply(b))
+        approx = np.asarray(f.apply(b, method="jacobi", sweeps=a.shape[0]))
+        np.testing.assert_allclose(approx, exact, rtol=1e-8, atol=1e-9)
