@@ -8,11 +8,15 @@ from cask_tpu.parallel.dist import (  # noqa: F401
     row_mesh,
 )
 from cask_tpu.parallel.partition import (  # noqa: F401
+    BdiaPartition,
     Coo2DPartition,
     CooPartition,
     DiaPartition,
     PohPartition,
+    fem_bdia_partition,
+    fem_formula_bsr,
     partition_2d,
+    partition_bdia,
     partition_coo,
     partition_dia,
     stencil_dia_partition,

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cask_tpu.parallel.partition import CooPartition, DiaPartition, PohPartition
+from cask_tpu.parallel.partition import (
+    BdiaPartition, CooPartition, DiaPartition, PohPartition)
 
 AXIS = "shards"
 
@@ -209,6 +210,150 @@ def _dia_local_mm(plan: DiaPartition, x_loc, axis: str):
     return y
 
 
+def _bdia_shard_matrix(plan: BdiaPartition):
+    """This shard's local (mloc × mloc) BdiaMatrix view (no remainder —
+    that rides the embedded CooPartition)."""
+    from cask_tpu.ops.bdia import BdiaMatrix
+
+    vals = _sq(plan.vals)  # (br, T, npairs, TS, 128)
+    return BdiaMatrix(
+        vals=vals,
+        rem_data=jnp.zeros((0,), vals.dtype),
+        rem_row=jnp.zeros((0,), jnp.int32),
+        rem_col=jnp.zeros((0,), jnp.int32),
+        block_offsets=plan.block_offsets,
+        shape=(plan.mloc, plan.mloc),
+        blocksize=plan.blocksize,
+        ts=plan.ts,
+    )
+
+
+def _bdia_edge_fixups(plan: BdiaPartition, left, right, *, k: int = 0):
+    """Component-plane halo corrections (head, tail) as natural-order
+    deltas of the first lo_b·br / last hi_b·br scalar rows.
+
+    ``head_vals``/``tail_vals`` are zero wherever the term was already
+    covered by the zero-padded interior, so each pair's window FMA adds
+    exactly the out-of-shard contributions (same discipline as
+    ``_dia_local``'s per-offset edge adds, lifted to block components).
+    """
+    br, bc = plan.blocksize
+    lo_b, hi_b = plan.halo_lo_b, plan.halo_hi_b
+    hv, tv = _sq(plan.head_vals), _sq(plan.tail_vals)  # (br, npairs, w)
+    head_nat = tail_nat = None
+    if lo_b and left is not None:
+        acc_t = jnp.result_type(hv.dtype, left.dtype)
+        # left: (lo_b*bc,) or (lo_b*bc, k) natural order → (bc, lo_b[, k])
+        lp = left.reshape((lo_b, bc) + left.shape[1:])
+        lp = jnp.moveaxis(lp, 1, 0)
+        pad = [(0, 0)] * lp.ndim
+        pad[1] = (0, lo_b)
+        lpad = jnp.pad(lp, pad)  # reads past the valid span hit zeroed vals
+        head = jnp.zeros((br, lo_b) + left.shape[1:], dtype=acc_t)
+        for j, (c, d) in enumerate(plan.pairs):
+            if d >= 0:
+                continue
+            start = (c, lo_b + d) + (0,) * (lp.ndim - 2)
+            xs = jax.lax.dynamic_slice(
+                lpad, start, (1, lo_b) + lpad.shape[2:])[0]
+            w = hv[:, j, :, None] if k else hv[:, j, :]
+            head = head + w * xs
+        head_nat = jnp.moveaxis(head, 0, 1).reshape((lo_b * br,) + left.shape[1:])
+    if hi_b and right is not None:
+        acc_t = jnp.result_type(tv.dtype, right.dtype)
+        rp = right.reshape((hi_b, bc) + right.shape[1:])
+        rp = jnp.moveaxis(rp, 1, 0)
+        pad = [(0, 0)] * rp.ndim
+        pad[1] = (hi_b, 0)
+        rpad = jnp.pad(rp, pad)
+        tail = jnp.zeros((br, hi_b) + right.shape[1:], dtype=acc_t)
+        for j, (c, d) in enumerate(plan.pairs):
+            if d <= 0:
+                continue
+            start = (c, d) + (0,) * (rp.ndim - 2)
+            xs = jax.lax.dynamic_slice(
+                rpad, start, (1, hi_b) + rpad.shape[2:])[0]
+            w = tv[:, j, :, None] if k else tv[:, j, :]
+            tail = tail + w * xs
+        tail_nat = jnp.moveaxis(tail, 0, 1).reshape((hi_b * br,) + right.shape[1:])
+    return head_nat, tail_nat
+
+
+def _bdia_local(plan: BdiaPartition, x_loc, axis: str, interior: str = "xla",
+                overlap: bool = True):
+    """Per-shard BDIA SpMV: ring halo + collective-free interior + edge
+    fixups — the flagship block kernel's config-5 path (VERDICT r2 #1)."""
+    br, bc = plan.blocksize
+    lo, hi = plan.halo_lo_b * bc, plan.halo_hi_b * bc
+
+    # 1. collectives depart first
+    left, right = _ring_halo(x_loc, lo, hi, axis, plan.nshards)
+    y_rem = _coo_local(plan.remainder, x_loc, axis) if plan.remainder is not None else None
+
+    if not overlap:
+        deps = tuple(v for v in (x_loc, left, right) if v is not None)
+        out = jax.lax.optimization_barrier(deps)
+        x_loc = out[0]
+        it = iter(out[1:])
+        left = next(it) if left is not None else None
+        right = next(it) if right is not None else None
+
+    # 2. interior on zero-padded local x (structural-zero discipline:
+    #    pairs reaching past the shard read pad zeros — no halo dep)
+    local = _bdia_shard_matrix(plan)
+    if interior == "pallas":
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_resident
+
+        y = local.from_resident(
+            bdia_spmv_pallas_resident(local, local.to_resident(x_loc)))
+    else:
+        y = local._spmv_xla(x_loc)
+
+    # 3. edge fixups once the halo lands
+    head, tail = _bdia_edge_fixups(plan, left, right)
+    if head is not None:
+        y = y.at[: head.shape[0]].add(head.astype(y.dtype))
+    if tail is not None:
+        y = y.at[plan.mloc - tail.shape[0] :].add(tail.astype(y.dtype))
+    if y_rem is not None:
+        y = y + y_rem
+    return y
+
+
+def _bdia_local_mm(plan: BdiaPartition, x_loc, axis: str):
+    br, bc = plan.blocksize
+    lo, hi = plan.halo_lo_b * bc, plan.halo_hi_b * bc
+    k = x_loc.shape[1]
+
+    left, right = _ring_halo(x_loc, lo, hi, axis, plan.nshards)
+    y_rem = _coo_local_mm(plan.remainder, x_loc, axis) if plan.remainder is not None else None
+
+    # interior: component-split shifted slices, one (c, d) pair at a time
+    local = _bdia_shard_matrix(plan)
+    nb = local.nbr
+    lo_b, hi_b = plan.halo_lo_b, plan.halo_hi_b
+    xc = x_loc.reshape(nb, bc, k)
+    xp = jnp.zeros((bc, lo_b + nb + hi_b, k), x_loc.dtype)
+    xp = xp.at[:, lo_b : lo_b + nb].set(jnp.moveaxis(xc, 1, 0))
+    acc_t = jnp.result_type(local.vals.dtype, x_loc.dtype)
+    vflat = local.vals.reshape(br, local.n_tiles, local.npairs, -1)
+    vflat = jnp.moveaxis(vflat, 2, 1).reshape(br, local.npairs, -1)[..., :nb]
+    y = jnp.zeros((br, nb, k), dtype=acc_t)
+    for j, (c, d) in enumerate(plan.pairs):
+        xs = jax.lax.dynamic_slice(xp, (c, lo_b + d, 0), (1, nb, k))[0]
+        y = y + vflat[:, j, :, None].astype(acc_t) * xs.astype(acc_t)
+    y = jnp.moveaxis(y, 0, 1).reshape(plan.mloc, k)
+
+    head, tail = _bdia_edge_fixups(plan, left, right, k=k)
+    if head is not None:
+        y = y.at[: head.shape[0]].add(head.astype(y.dtype))
+    if tail is not None:
+        y = y.at[plan.mloc - tail.shape[0] :].add(tail.astype(y.dtype))
+    if y_rem is not None:
+        y = y + y_rem
+    return y
+
+
 # ---------------------------------------------------------------------------
 # user-facing executor
 # ---------------------------------------------------------------------------
@@ -240,6 +385,9 @@ class DistSpmv:
                 )
             local = partial(_dia_local, interior=interior, overlap=overlap)
             local_mm = _dia_local_mm
+        elif isinstance(plan, BdiaPartition):
+            local = partial(_bdia_local, interior=interior, overlap=overlap)
+            local_mm = _bdia_local_mm
         elif isinstance(plan, PohPartition):
             local = _poh_local
             local_mm = _poh_local_mm

@@ -41,6 +41,9 @@ def main(argv=None):
                     help="directory for a jax.profiler trace of one overlapped step")
     ap.add_argument("--cpu", action="store_true",
                     help="force the fake 8-device CPU mesh")
+    ap.add_argument("--kind", default="dia", choices=("dia", "bdia"),
+                    help="dia: scalar 5-point stencil; bdia: dof-4 FEM "
+                         "block matrix on the flagship BDIA path")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -55,9 +58,18 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from cask_tpu.parallel import DistSpmv, row_mesh, stencil_dia_partition
+    from cask_tpu.parallel import (DistSpmv, fem_bdia_partition, row_mesh,
+                                   stencil_dia_partition)
     from cask_tpu.tune.timing import measure_chained
     from cask_tpu.utils.platform import on_tpu
+
+    def build_plan(p):
+        if args.kind == "bdia":
+            # dof-4 FEM blocks: rows = nx²·4 ≈ rows_per_shard·p
+            nx = int(math.sqrt(args.rows_per_shard * p / 4))
+            return fem_bdia_partition(nx, dof=4, nshards=p)
+        side = int(math.sqrt(args.rows_per_shard * p))
+        return stencil_dia_partition(side, nshards=p, align=8192)
 
     ndev = len(jax.devices())
     shards = ([int(s) for s in args.shards.split(",")] if args.shards
@@ -74,8 +86,7 @@ def main(argv=None):
     for p in shards:
         if p > ndev:
             continue
-        side = int(math.sqrt(args.rows_per_shard * p))
-        plan = stencil_dia_partition(side, nshards=p, align=8192)
+        plan = build_plan(p)
         op = DistSpmv(plan, row_mesh(p))
         n = plan.shape[0]
         x0 = jax.jit(lambda n=n: 0.1 * jax.random.normal(
@@ -86,7 +97,7 @@ def main(argv=None):
             lambda v: op.padded_op(v) * jnp.float32(0.12), xp,
             k1=5, k2=40, points=3, repeats=2)
         ns_per_row = meas.seconds_per_iter / n * 1e9
-        rec = {"op": "dist_spmv_weak_scaling", "nshards": p, "rows": n,
+        rec = {"op": "dist_spmv_weak_scaling", "kind": args.kind, "nshards": p, "rows": n,
                "seconds_per_op": meas.seconds_per_iter,
                "ns_per_row": round(ns_per_row, 4),
                "reliable": meas.reliable,
@@ -100,8 +111,7 @@ def main(argv=None):
 
     # ---- overlap A/B at the largest shard count ------------------------
     p = max(s for s in shards if s <= ndev)
-    side = int(math.sqrt(args.rows_per_shard * p))
-    plan = stencil_dia_partition(side, nshards=p, align=8192)
+    plan = build_plan(p)
     mesh = row_mesh(p)
     n = plan.shape[0]
     x0 = jax.jit(lambda n=n: 0.1 * jax.random.normal(
@@ -114,7 +124,7 @@ def main(argv=None):
             lambda v, op=op: op.padded_op(v) * jnp.float32(0.12), xp,
             k1=5, k2=40, points=3, repeats=2)
         times[name] = meas.seconds_per_iter
-        emit({"op": "dist_spmv_overlap_ab", "variant": name, "nshards": p,
+        emit({"op": "dist_spmv_overlap_ab", "kind": args.kind, "variant": name, "nshards": p,
               "rows": n, "seconds_per_op": meas.seconds_per_iter,
               "reliable": meas.reliable})
     hidden = times["serialized"] - times["overlapped"]
