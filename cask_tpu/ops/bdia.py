@@ -258,19 +258,16 @@ class BdiaMatrix:
     # -- compute ----------------------------------------------------------
 
     def spmv(self, x, *, method: str = "auto"):
-        if method in ("auto", "pallas") and bdia_pallas_ok(self):
-            from cask_tpu.ops.pallas.bdia_kernels import (
-                bdia_spmv_pallas, bdia_spmv_pallas_resident)
+        if method in ("auto", "pallas", "fused") and bdia_pallas_ok(self):
+            from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
 
             from cask_tpu.utils.platform import on_tpu
 
-            if method == "pallas" or on_tpu():
-                br, bc = self.blocksize
-                if br == bc:
-                    y = self.from_resident(
-                        bdia_spmv_pallas_resident(self, self.to_resident(x)))
-                else:
-                    y = self.from_bdia(bdia_spmv_pallas(self, self.to_bdia(x)))
+            if method in ("pallas", "fused") or on_tpu():
+                # natural-in/natural-out kernel: the component relayout
+                # runs in-kernel (VERDICT r2 item 2) — one-shot callers
+                # no longer pay the XLA permutation-matmul wrappers
+                y = bdia_spmv_pallas_fused(self, x)
                 if self.rem_data.shape[0]:
                     y = y + self._remainder_spmv(x)
                 return y

@@ -104,6 +104,144 @@ def bdia_spmv_pallas_resident(a: "_bdia.BdiaMatrix", x2):
     )(x2, a.vals).reshape(br * seg, _LANE)
 
 
+def _perm_dot_exact(w, p, interpret: bool):
+    """Exact ``w @ p`` for a 0/1 permutation matrix ``p``.
+
+    On TPU, f32 uses the 3-pass bf16 split (an f32 is exactly the sum of
+    three 8-mantissa-bit bf16 components; each MXU product against 0/1
+    is a single exact term).  XLA:TPU's simplifier refolds this split
+    (ops/bdia.py probe8d/e/9 history) — inside Mosaic we emit the three
+    dots ourselves and nothing refolds them, which is the whole point of
+    the in-kernel relayout (VERDICT r2 item 2)."""
+    f32 = jnp.float32
+    if interpret or w.dtype == jnp.float64:
+        return jnp.dot(w, p.astype(w.dtype))
+    if w.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            w, p, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    b0 = w.astype(jnp.bfloat16)
+    r1 = w - b0.astype(f32)
+    b1 = r1.astype(jnp.bfloat16)
+    b2 = (r1 - b1.astype(f32)).astype(jnp.bfloat16)
+    dot = lambda b: jax.lax.dot_general(  # noqa: E731
+        b, p, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    return dot(b0) + dot(b1) + dot(b2)
+
+
+def _bdia_fused_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T,
+                       interpret, xn_ref, v_ref, pin_ref, pout_ref, o_ref,
+                       xs_ref):
+    # grid (1 + P1 + T, br + 1): dim 0 = phases (zero / de-interleave /
+    # value tiles), dim 1 = output component r (last sub-step merges).
+    # One output block stays VMEM-resident across its br+1 sub-steps.
+    g = pl.program_id(0)
+    rr = pl.program_id(1)
+
+    @pl.when((g == 0) & (rr == 0))
+    def _zero():
+        # structural-zero discipline: every pad region of the component
+        # segments reads as 0 in the FMA windows
+        xs_ref[...] = jnp.zeros_like(xs_ref)
+
+    @pl.when((g >= 1) & (g <= P1) & (rr == 0))
+    def _deint():
+        # de-interleave one natural-x slab into the component segments:
+        # (tbx, 128·bc) @ perm → lanes [c·128, (c+1)·128) = component c
+        w = _perm_dot_exact(xn_ref[...], pin_ref[...], interpret)
+        w = w.astype(xs_ref.dtype)
+        p = g - 1
+        for c in range(bc):
+            xs_ref[pl.ds(c * seg128 + lp128 + p * tbx, tbx), :] = \
+                w[:, c * _LANE : (c + 1) * _LANE]
+
+    t = g - 1 - P1
+    for r in range(br):
+        @pl.when((g > P1) & (rr == r))
+        def _compute(r=r):
+            acc = jnp.zeros((ts, _LANE), dtype=o_ref.dtype)
+            for j, (c, q, s) in enumerate(pair_qs):
+                row0 = c * seg128 + t * ts + q
+                acc = acc + v_ref[0, 0, j] * _shifted_window(
+                    xs_ref, row0, s, ts, interpret)
+            o_ref[:, r * _LANE : (r + 1) * _LANE] = acc
+
+    @pl.when((g > P1) & (rr == br))
+    def _merge():
+        # interleave the br component lane-groups back to natural order
+        # with one exact permutation matmul per tile (overlaps the next
+        # value slab's DMA in the Mosaic pipeline — no separate XLA pass)
+        merged = _perm_dot_exact(o_ref[...], pout_ref[...], interpret)
+        o_ref[...] = merged.astype(o_ref.dtype)
+
+
+def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x):
+    """One-shot SpMV on NATURAL-order x → natural-order y.
+
+    The component de-interleave/interleave runs *inside* the kernel
+    (phase 1: x slabs → VMEM component segments; per-tile output merge),
+    so the one-shot path pays zero XLA relayout passes and the MXU
+    permutation work hides under the HBM-bound value stream.  Exact for
+    f32 via the in-Mosaic 3-pass bf16 split (see
+    :func:`_perm_dot_exact`).
+    """
+    br, bc = a.blocksize
+    m, n = a.shape
+    ts, T = a.ts, a.n_tiles
+    lo, hi = a.lo, a.hi
+    lp128 = -(-lo // _LANE)
+    lp = lp128 * _LANE
+    L_in, L_out = _LANE * bc, _LANE * br
+    tbx = 128
+    rtx = -(-a.nbc // _LANE)  # natural-x rows of 128 blocks each
+    rtx_pad = -(-rtx // tbx) * tbx
+    P1 = rtx_pad // tbx
+    seg128 = lp128 + max(T * ts, rtx_pad) + hi // _LANE + 2
+    npairs = a.npairs
+    pair_qs = tuple((c, *divmod(lp + d, _LANE)) for (c, d) in a.pairs)
+
+    x = jnp.asarray(x)
+    if rtx_pad * L_in == n:
+        xn = x.reshape(rtx_pad, L_in)
+    else:
+        xn = jnp.zeros((rtx_pad * L_in,), x.dtype).at[:n].set(x).reshape(
+            rtx_pad, L_in)
+    out_dtype = jnp.promote_types(a.vals.dtype, x.dtype)
+    if jnp.bfloat16 in (a.vals.dtype, x.dtype):
+        out_dtype = jnp.promote_types(out_dtype, jnp.float32)
+
+    interp = _interpret()
+    pd = x.dtype if interp or x.dtype == jnp.float64 else jnp.bfloat16
+    pin = jnp.asarray(_bdia._deint_perm(bc), pd)
+    pout = jnp.asarray(_bdia._deint_perm(br).T, pd)
+
+    kernel = functools.partial(_bdia_fused_kernel, pair_qs, br, bc, ts,
+                               seg128, lp128, tbx, P1, T, interp)
+    y = pl.pallas_call(
+        kernel,
+        grid=(1 + P1 + T, br + 1),
+        in_specs=[
+            pl.BlockSpec((tbx, L_in),
+                         lambda g, rr: (jnp.clip(g - 1, 0, P1 - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npairs, ts, _LANE),
+                         lambda g, rr: (jnp.clip(rr, 0, br - 1),
+                                        jnp.clip(g - 1 - P1, 0, T - 1),
+                                        0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pin
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pout
+        ],
+        out_specs=pl.BlockSpec((ts, L_out),
+                               lambda g, rr: (jnp.clip(g - 1 - P1, 0, T - 1),
+                                              0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T * ts, L_out), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bc * seg128, _LANE), x.dtype)],
+        interpret=interp,
+    )(xn, a.vals, pin, pout)
+    return y.reshape(-1)[:m]
+
+
 def bdia_spmv_pallas(a: "_bdia.BdiaMatrix", x2):
     """SpMV on the pre-deinterleaved (bc·SEG, 128) x layout.
 
@@ -134,3 +272,191 @@ def bdia_spmv_pallas(a: "_bdia.BdiaMatrix", x2):
         out_shape=jax.ShapeDtypeStruct((br, T * ts, _LANE), out_dtype),
         interpret=_interpret(),
     )(x2, a.vals)
+
+
+# ---------------------------------------------------------------------------
+# BDIA SpMM ring: natural-layout X/Y, exactly-nnz value streaming.
+#
+# The block twin of the scalar ring SpMM (dia_kernels.py:852): X strips
+# live in a per-component 4-bank VMEM ring and every X row crosses HBM
+# exactly once.  Two structural wins over scalar DIA on a block matrix:
+#
+# - the value stream is exactly nnz (no block→scalar diagonal fill), and
+#   the FMA loop runs D·bc pieces (20 for the dof-4 FEM stencil) instead
+#   of the D·(2b−1)-with-overlap scalar expansion (35 pieces);
+# - shifts are whole BLOCK rows, so component strips shift by whole
+#   sublane rows with no lane work, and grid-aligned offsets (|d| = tm
+#   or multiples of the grid row length when tm divides it) need no
+#   concat at all.
+#
+# The component de-interleave lives in the DMA: component c's strip is
+# the strided slab X[(i, c, :) for i in strip] of natural X viewed as
+# (rows, bc, kp) — contiguous kp·itemsize runs (512 B at k=128 f32), so
+# the "relayout" is free DMA addressing, not data movement.  Y writes
+# the same way.  One-shot callers and chained block-Krylov users both
+# stay in natural layout.
+# ---------------------------------------------------------------------------
+
+_MM_BANKS = 4
+
+
+def _bdia_mm_geometry(a: "_bdia.BdiaMatrix", kp: int, db_in: int,
+                      db_out: int):
+    from cask_tpu.ops.pallas.dia_kernels import _SPMM_VMEM_BUDGET
+
+    bc = a.blocksize[1]
+    lo_b, hi_b = a.lo, a.hi
+    dv = jnp.dtype(a.vals.dtype).itemsize
+    for tm in (1024, 512, 256, 128):
+        if a.nb_pad % tm or lo_b > tm or hi_b > tm:
+            continue
+        need = (bc * _MM_BANKS * tm * kp * db_in  # component strip rings
+                + 3 * tm * kp * db_out            # out block + acc temp
+                + 2 * tm * a.npairs * dv)         # value tiles
+        if need <= _SPMM_VMEM_BUDGET:
+            return tm
+    return None
+
+
+def bdia_mm_ok(a: "_bdia.BdiaMatrix", k: int) -> bool:
+    if a.npairs > _bdia._MAX_PAIRS:
+        return False
+    kp = max(_LANE, -(-k // _LANE) * _LANE)
+    return _bdia_mm_geometry(a, kp, 4, 4) is not None
+
+
+def _mm_vals_pack(a: "_bdia.BdiaMatrix", tm: int):
+    """(br, T, tm, npairs) value tiles for the SpMM grid — a one-time
+    device-side repack of the SpMV tiling, memoized on the instance
+    (plan-once discipline)."""
+    cache = getattr(a, "_mm_pack_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(a, "_mm_pack_cache", cache)
+    if tm not in cache:
+        br = a.blocksize[0]
+        v = a.vals.reshape(br, a.n_tiles, a.npairs, a.ts * _LANE)
+        v = jnp.moveaxis(v, 2, 3).reshape(br, a.nb_pad // tm, tm, a.npairs)
+        cache[tm] = v
+    return cache[tm]
+
+
+def _bdia_spmm_ring_kernel(pairs, bc, tm, kp, T, interpret, x_hbm, v_ref,
+                           o_ref, banks, sems):
+    # grid (T, br): dim 0 = block-row tile, dim 1 = output component.
+    # banks: (bc·4, tm, kp) — component c's ring occupies slots
+    # [c·4, c·4+4); strip s of component c sits in slot c·4 + s mod 4.
+    tt = pl.program_id(0)
+    r = pl.program_id(1)
+
+    def fill(s):
+        # strip s for every component: DMA when it exists, zeros when it
+        # is a pad strip (structural-zero discipline at the edges)
+        for slot in range(_MM_BANKS):
+            @pl.when((jnp.mod(s, _MM_BANKS) == slot) & (s >= 0) & (s < T))
+            def _(slot=slot):
+                for c in range(bc):
+                    pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(s * tm, tm), c, :],
+                        banks.at[c * _MM_BANKS + slot],
+                        sems.at[c * _MM_BANKS + slot],
+                    ).start()
+
+            @pl.when((jnp.mod(s, _MM_BANKS) == slot)
+                     & ((s < 0) | (s >= T)))
+            def _(slot=slot):
+                for c in range(bc):
+                    banks[c * _MM_BANKS + slot] = jnp.zeros(
+                        (tm, kp), banks.dtype)
+
+    def wait(s):
+        for slot in range(_MM_BANKS):
+            @pl.when((jnp.mod(s, _MM_BANKS) == slot) & (s >= 0) & (s < T))
+            def _(slot=slot):
+                for c in range(bc):
+                    pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(s * tm, tm), c, :],
+                        banks.at[c * _MM_BANKS + slot],
+                        sems.at[c * _MM_BANKS + slot],
+                    ).wait()
+
+    @pl.when((tt == 0) & (r == 0))
+    def _():
+        for s in (-1, 0, 1, 2):
+            fill(jnp.int32(s))
+        for s in (-1, 0, 1):
+            wait(jnp.int32(s))
+
+    @pl.when((tt > 0) & (r == 0))
+    def _():
+        fill(tt + 2)
+        wait(tt + 1)
+
+    vt = v_ref[0, 0]  # (tm, npairs)
+    acc_t = jnp.promote_types(o_ref.dtype, jnp.float32)
+    acc = jnp.zeros((tm, kp), dtype=acc_t)
+    for j, (c, d) in enumerate(pairs):
+        q, r2 = divmod(d, tm)
+        a_idx = c * _MM_BANKS + jnp.mod(tt + q, _MM_BANKS)
+        hi_part = banks[pl.ds(a_idx, 1), pl.ds(r2, tm - r2), :][0]
+        if r2 == 0:
+            sh = hi_part
+        else:
+            b_idx = c * _MM_BANKS + jnp.mod(tt + q + 1, _MM_BANKS)
+            lo_part = banks[pl.ds(b_idx, 1), pl.ds(0, r2), :][0]
+            sh = jnp.concatenate([hi_part, lo_part], axis=0)
+        acc = acc + vt[:, j : j + 1].astype(acc_t) * sh.astype(acc_t)
+    o_ref[...] = acc.astype(o_ref.dtype)[:, None, :]
+
+
+def bdia_spmm_pallas_ring(a: "_bdia.BdiaMatrix", x, *, out_dtype=None):
+    """``Y = A @ X`` with natural-layout (n, k) X and (m, k) Y.
+
+    ``out_dtype=None`` promotes bf16 streams to an f32 result (the
+    library accumulate policy); pass ``jnp.bfloat16`` for the fully-bf16
+    chained pipeline.  Exactly-nnz value stream; X/Y cross HBM once.
+    """
+    br, bc = a.blocksize
+    m, n = a.shape
+    x = jnp.asarray(x)
+    k = int(x.shape[1])
+    kp = max(_LANE, -(-k // _LANE) * _LANE)
+    if out_dtype is None:
+        out_dtype = jnp.promote_types(a.vals.dtype, x.dtype)
+        if jnp.bfloat16 in (a.vals.dtype, jnp.dtype(x.dtype)):
+            out_dtype = jnp.promote_types(out_dtype, jnp.float32)
+    db_in = jnp.dtype(x.dtype).itemsize
+    tm = _bdia_mm_geometry(a, kp, db_in, jnp.dtype(out_dtype).itemsize)
+    if tm is None:
+        raise ValueError("no BDIA SpMM ring geometry fits VMEM "
+                         "(check bdia_mm_ok first)")
+    T = a.nb_pad // tm
+    rows = T * tm  # padded block columns/rows
+
+    if n == rows * bc and k == kp:
+        x3 = x.reshape(rows, bc, kp)
+    else:
+        x3 = jnp.zeros((rows * bc, kp), x.dtype).at[:n, :k].set(x) \
+            .reshape(rows, bc, kp)
+
+    vmm = _mm_vals_pack(a, tm)
+    kernel = functools.partial(_bdia_spmm_ring_kernel, a.pairs, bc, tm, kp,
+                               T, _interpret())
+    y3 = pl.pallas_call(
+        kernel,
+        grid=(T, br),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # natural X (rows, bc, kp)
+            pl.BlockSpec((1, 1, tm, a.npairs), lambda tt, r: (r, tt, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, 1, kp), lambda tt, r: (tt, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, br, kp), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bc * _MM_BANKS, tm, kp), x.dtype),
+            pltpu.SemaphoreType.DMA((bc * _MM_BANKS,)),
+        ],
+        interpret=_interpret(),
+    )(x3, vmm)
+    return y3.reshape(rows * br, kp)[:m, :k]

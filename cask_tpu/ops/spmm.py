@@ -83,7 +83,7 @@ def spmm(a, x, *, transpose: bool = False, method: str = "auto",
         from cask_tpu.ops.dia import spmm_dia
 
         return spmm_dia(a, x, transpose=transpose, accum_dtype=accum_dtype)
-    if method not in ("auto", "xla"):
+    if method not in ("auto", "xla", "pallas_bdia"):
         raise ValueError(f"unknown spmm method {method!r}")
 
     if isinstance(a, CSR):
@@ -109,6 +109,21 @@ def spmm(a, x, *, transpose: bool = False, method: str = "auto",
     if isinstance(a, BdiaMatrix):
         if transpose:
             a = _bdia_t(a)
+        from cask_tpu.ops.pallas.bdia_kernels import (bdia_mm_ok,
+                                                      bdia_spmm_pallas_ring)
+        from cask_tpu.utils.platform import on_tpu
+
+        k = int(x.shape[1])
+        if k > 64 and bdia_mm_ok(a, k) and (on_tpu() or method == "pallas_bdia"):
+            # block ring SpMM: exactly-nnz value stream, X/Y cross HBM
+            # once in natural layout (VERDICT r2 item 3)
+            y = bdia_spmm_pallas_ring(a, x, out_dtype=accum_dtype)
+            if a.rem_data.shape[0]:
+                prod = a.rem_data[:, None].astype(y.dtype) * \
+                    x[a.rem_col].astype(y.dtype)
+                y = y + jax.ops.segment_sum(prod, a.rem_row,
+                                            num_segments=a.shape[0])
+            return y
         from cask_tpu.ops.bdia import bdia_scalar_dia
 
         # scalar-DIA SpMM on the expanded structure; the host-side plan

@@ -142,6 +142,108 @@ class TestSpmvPallas:
         )
 
 
+class TestSpmvPallasFused:
+    """Natural-in/natural-out kernel with in-kernel component relayout
+    (VERDICT r2 item 2): no XLA permutation wrappers on the one-shot
+    path."""
+
+    @pytest.mark.parametrize("dof", [2, 4, 8])
+    def test_matches_xla_f32(self, dof):
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
+
+        a = fem_blocks(7, dof=dof, dtype=np.float32)
+        plan = bdia_plan(a, (dof, dof))
+        rng = np.random.default_rng(10)
+        x = rng.standard_normal(a.shape[1]).astype(np.float32)
+        y = bdia_spmv_pallas_fused(plan, x)
+        # the in-kernel 3-pass split relayout is EXACT: parity with the
+        # XLA formulation is bitwise on the relayout, fp-roundoff on FMAs
+        np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_f64_interpret(self):
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
+
+        a = fem_blocks(6, dof=4, dtype=np.float64)
+        plan = bdia_plan(a, (4, 4))
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal(a.shape[1])
+        y = bdia_spmv_pallas_fused(plan, x)
+        np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_bf16_values(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
+
+        a = fem_blocks(6, dof=4, dtype=np.float32)
+        plan = bdia_plan(a, (4, 4)).astype(np.dtype("bfloat16"))
+        rng = np.random.default_rng(12)
+        x = rng.standard_normal(a.shape[1]).astype(np.float32)
+        y = bdia_spmv_pallas_fused(plan, jnp.asarray(x, jnp.bfloat16))
+        assert y.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x),
+                                   rtol=0.05, atol=0.1)
+
+    def test_rectangular_blocks(self):
+        from cask_tpu.formats.convert import csr_to_bsr, to_scipy
+
+        # (4, 2) blocks: L_in != L_out exercises both perms separately
+        # (ragged block diagonals spill to the remainder, which the
+        # method='fused' dispatch adds back)
+        a = fem_blocks(6, dof=4, dtype=np.float32)
+        bsr = csr_to_bsr(a, (4, 2))
+        plan = bdia_plan(bsr)
+        assert plan.rem_data.shape[0] > 0
+        rng = np.random.default_rng(13)
+        x = rng.standard_normal(a.shape[1]).astype(np.float32)
+        y = plan.spmv(x, method="fused")
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_ragged_rows_pad_path(self):
+        from cask_tpu.formats.convert import csr_to_bsr, to_scipy
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
+
+        a = fem_blocks(9, dof=3, dtype=np.float32)  # 243 rows: ragged
+        plan = bdia_plan(csr_to_bsr(a, (3, 3)))
+        rng = np.random.default_rng(14)
+        x = rng.standard_normal(a.shape[1]).astype(np.float32)
+        y = bdia_spmv_pallas_fused(plan, x)
+        np.testing.assert_allclose(np.asarray(y), to_scipy(a) @ x,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_spmv_method_fused_dispatch(self):
+        a = fem_blocks(6, dof=4, dtype=np.float32)
+        plan = bdia_plan(a, (4, 4))
+        rng = np.random.default_rng(15)
+        x = rng.standard_normal(a.shape[1]).astype(np.float32)
+        y = plan.spmv(x, method="fused")
+        np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_fused_with_remainder(self):
+        import scipy.sparse as sp
+
+        from cask_tpu.formats.convert import csr_to_bsr, from_scipy, to_scipy
+
+        a = fem_blocks(6, dof=4, dtype=np.float64)
+        s = to_scipy(a).tolil()
+        rng = np.random.default_rng(16)
+        for _ in range(6):
+            bi = int(rng.integers(0, 20))
+            bj = int(rng.integers(0, 20))
+            s[bi * 4 : bi * 4 + 4, bj * 4 : bj * 4 + 4] = rng.standard_normal((4, 4))
+        bsr = csr_to_bsr(from_scipy(s.tocsr()), (4, 4))
+        plan = bdia_plan(bsr)
+        assert plan.rem_data.shape[0] > 0
+        x = rng.standard_normal(s.shape[1])
+        y = plan.spmv(x, method="fused")
+        np.testing.assert_allclose(np.asarray(y), s.tocsr() @ x,
+                                   rtol=1e-12, atol=1e-12)
+
+
 class TestResidentLayout:
     @pytest.mark.parametrize("dof", [2, 4, 8])
     def test_matches_scipy(self, dof):
@@ -192,3 +294,84 @@ class TestResidentLayout:
         np.testing.assert_allclose(
             np.asarray(op.from_padded(op(op.to_padded(x)))),
             _spmv_ref(a, x), rtol=2e-5, atol=2e-5)
+
+
+class TestBdiaSpmmRing:
+    """Block ring SpMM: natural X/Y, exactly-nnz value stream
+    (VERDICT r2 item 3)."""
+
+    @pytest.mark.parametrize("dof", [2, 4])
+    def test_matches_scipy_k128(self, dof):
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.ops.pallas.bdia_kernels import (bdia_mm_ok,
+                                                      bdia_spmm_pallas_ring)
+
+        a = fem_blocks(12, dof=dof, dtype=np.float32)
+        plan = bdia_plan(a, (dof, dof))
+        assert bdia_mm_ok(plan, 128)
+        rng = np.random.default_rng(20)
+        X = rng.standard_normal((a.shape[1], 128)).astype(np.float32)
+        Y = bdia_spmm_pallas_ring(plan, X)
+        np.testing.assert_allclose(np.asarray(Y), to_scipy(a) @ X,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_ragged_k_and_rows(self):
+        from cask_tpu.formats.convert import csr_to_bsr, to_scipy
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmm_pallas_ring
+
+        a = fem_blocks(11, dof=3, dtype=np.float64)  # ragged everything
+        plan = bdia_plan(csr_to_bsr(a, (3, 3)))
+        rng = np.random.default_rng(21)
+        X = rng.standard_normal((a.shape[1], 100))
+        Y = bdia_spmm_pallas_ring(plan, X)
+        np.testing.assert_allclose(np.asarray(Y), to_scipy(a) @ X,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_bf16_streams_f32_accumulate(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmm_pallas_ring
+
+        a = fem_blocks(10, dof=4, dtype=np.float32)
+        plan = bdia_plan(a, (4, 4)).astype(np.dtype("bfloat16"))
+        rng = np.random.default_rng(22)
+        X = rng.standard_normal((a.shape[1], 128)).astype(np.float32)
+        Y = bdia_spmm_pallas_ring(plan, jnp.asarray(X, jnp.bfloat16))
+        assert Y.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(Y), to_scipy(a) @ X,
+                                   rtol=0.05, atol=0.2)
+        Yb = bdia_spmm_pallas_ring(plan, jnp.asarray(X, jnp.bfloat16),
+                                   out_dtype=jnp.bfloat16)
+        assert Yb.dtype == jnp.bfloat16
+
+    def test_spmm_dispatch_with_remainder(self):
+        from cask_tpu.formats.convert import csr_to_bsr, from_scipy, to_scipy
+        from cask_tpu.ops.spmm import spmm
+
+        a = fem_blocks(10, dof=4, dtype=np.float64)
+        s = to_scipy(a).tolil()
+        rng = np.random.default_rng(23)
+        for _ in range(5):
+            bi, bj = int(rng.integers(0, 30)), int(rng.integers(60, 99))
+            s[bi * 4 : bi * 4 + 4, bj * 4 : bj * 4 + 4] = rng.standard_normal((4, 4))
+        plan = bdia_plan(csr_to_bsr(from_scipy(s.tocsr()), (4, 4)))
+        assert plan.rem_data.shape[0] > 0
+        X = rng.standard_normal((s.shape[1], 128))
+        Y = spmm(plan, X, method="pallas_bdia")
+        np.testing.assert_allclose(np.asarray(Y), s.tocsr() @ X,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_chained_natural_layout(self):
+        # block-Krylov style: Y feeds straight back as X (same layout)
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmm_pallas_ring
+
+        a = fem_blocks(12, dof=4, dtype=np.float64)
+        plan = bdia_plan(a, (4, 4))
+        rng = np.random.default_rng(24)
+        X = rng.standard_normal((a.shape[1], 128))
+        Y2 = bdia_spmm_pallas_ring(plan, bdia_spmm_pallas_ring(plan, X))
+        s = to_scipy(a)
+        np.testing.assert_allclose(np.asarray(Y2), s @ (s @ X),
+                                   rtol=1e-12, atol=1e-11)
