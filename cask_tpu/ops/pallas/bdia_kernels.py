@@ -128,12 +128,26 @@ def _perm_dot_exact(w, p, interpret: bool):
     return dot(b0) + dot(b1) + dot(b2)
 
 
-def _bdia_fused_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T,
-                       interpret, xn_ref, v_ref, pin_ref, pout_ref, o_ref,
-                       xs_ref):
+def _xlu_deinterleave(w, bc: int):
+    """(rows, 128·bc) natural slab → (rows, bc, 128) component planes
+    via the transpose unit (no MXU passes, bit-exact in any dtype)."""
+    return jnp.swapaxes(w.reshape(w.shape[0], _LANE, bc), 1, 2)
+
+
+def _xlu_interleave(A, br: int):
+    """(rows, br·128) component lane-groups → natural (rows, 128·br)."""
+    return jnp.swapaxes(A.reshape(A.shape[0], br, _LANE), 1, 2).reshape(
+        A.shape[0], br * _LANE)
+
+
+def _bdia_fused_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T, mt,
+                       relayout, interpret, xn_ref, v_ref, pin_ref, pout_ref,
+                       o_ref, xs_ref):
     # grid (1 + P1 + T, br + 1): dim 0 = phases (zero / de-interleave /
     # value tiles), dim 1 = output component r (last sub-step merges).
-    # One output block stays VMEM-resident across its br+1 sub-steps.
+    # One output block stays VMEM-resident across its mt·(br+1) sub-steps
+    # (mt = tiles per output block: 2 when T is even so the merge matmul
+    # runs at M=2·ts for full MXU utilization).
     g = pl.program_id(0)
     rr = pl.program_id(1)
 
@@ -145,44 +159,59 @@ def _bdia_fused_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T,
 
     @pl.when((g >= 1) & (g <= P1) & (rr == 0))
     def _deint():
-        # de-interleave one natural-x slab into the component segments:
-        # (tbx, 128·bc) @ perm → lanes [c·128, (c+1)·128) = component c
-        w = _perm_dot_exact(xn_ref[...], pin_ref[...], interpret)
-        w = w.astype(xs_ref.dtype)
+        # de-interleave one natural-x slab into the component segments
         p = g - 1
-        for c in range(bc):
-            xs_ref[pl.ds(c * seg128 + lp128 + p * tbx, tbx), :] = \
-                w[:, c * _LANE : (c + 1) * _LANE]
+        if relayout == "xlu":
+            w = _xlu_deinterleave(xn_ref[...], bc)
+            for c in range(bc):
+                xs_ref[pl.ds(c * seg128 + lp128 + p * tbx, tbx), :] = w[:, c]
+        else:
+            # (tbx, 128·bc) @ perm → lanes [c·128, (c+1)·128) = comp. c
+            w = _perm_dot_exact(xn_ref[...], pin_ref[...], interpret)
+            w = w.astype(xs_ref.dtype)
+            for c in range(bc):
+                xs_ref[pl.ds(c * seg128 + lp128 + p * tbx, tbx), :] = \
+                    w[:, c * _LANE : (c + 1) * _LANE]
 
     t = g - 1 - P1
-    for r in range(br):
-        @pl.when((g > P1) & (rr == r))
-        def _compute(r=r):
-            acc = jnp.zeros((ts, _LANE), dtype=o_ref.dtype)
-            for j, (c, q, s) in enumerate(pair_qs):
-                row0 = c * seg128 + t * ts + q
-                acc = acc + v_ref[0, 0, j] * _shifted_window(
-                    xs_ref, row0, s, ts, interpret)
-            o_ref[:, r * _LANE : (r + 1) * _LANE] = acc
+    for half in range(mt):
+        for r in range(br):
+            @pl.when((g > P1) & (rr == r) & (t % mt == half))
+            def _compute(r=r, half=half):
+                acc = jnp.zeros((ts, _LANE), dtype=o_ref.dtype)
+                for j, (c, q, s) in enumerate(pair_qs):
+                    row0 = c * seg128 + t * ts + q
+                    acc = acc + v_ref[0, 0, j] * _shifted_window(
+                        xs_ref, row0, s, ts, interpret)
+                o_ref[half * ts : (half + 1) * ts,
+                      r * _LANE : (r + 1) * _LANE] = acc
 
-    @pl.when((g > P1) & (rr == br))
+    @pl.when((g > P1) & (rr == br) & (t % mt == mt - 1))
     def _merge():
-        # interleave the br component lane-groups back to natural order
-        # with one exact permutation matmul per tile (overlaps the next
-        # value slab's DMA in the Mosaic pipeline — no separate XLA pass)
-        merged = _perm_dot_exact(o_ref[...], pout_ref[...], interpret)
+        # interleave the br component lane-groups back to natural order —
+        # one exact relayout per output block, overlapping the next value
+        # slab's DMA in the Mosaic pipeline (no separate XLA pass)
+        if relayout == "xlu":
+            merged = _xlu_interleave(o_ref[...], br)
+        else:
+            merged = _perm_dot_exact(o_ref[...], pout_ref[...], interpret)
         o_ref[...] = merged.astype(o_ref.dtype)
 
 
-def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x):
+def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x, *,
+                           relayout: str = "mxu"):
     """One-shot SpMV on NATURAL-order x → natural-order y.
 
     The component de-interleave/interleave runs *inside* the kernel
-    (phase 1: x slabs → VMEM component segments; per-tile output merge),
-    so the one-shot path pays zero XLA relayout passes and the MXU
-    permutation work hides under the HBM-bound value stream.  Exact for
-    f32 via the in-Mosaic 3-pass bf16 split (see
-    :func:`_perm_dot_exact`).
+    (phase 1: x slabs → VMEM component segments; per-block output merge),
+    so the one-shot path pays zero XLA relayout passes and the relayout
+    work hides under the HBM-bound value stream.
+
+    ``relayout``: 'mxu' = exact 3-pass bf16-split permutation matmuls
+    (paired-tile merge for full systolic-array utilization, see
+    :func:`_perm_dot_exact`); 'xlu' = transpose-unit ``swapaxes``
+    interleave (no MXU passes at all, bit-exact in any dtype).  Both are
+    exact; the probe decides which ships as default.
     """
     br, bc = a.blocksize
     m, n = a.shape
@@ -213,9 +242,11 @@ def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x):
     pd = x.dtype if interp or x.dtype == jnp.float64 else jnp.bfloat16
     pin = jnp.asarray(_bdia._deint_perm(bc), pd)
     pout = jnp.asarray(_bdia._deint_perm(br).T, pd)
+    mt = 2 if (relayout == "mxu" and T % 2 == 0) else 1
 
     kernel = functools.partial(_bdia_fused_kernel, pair_qs, br, bc, ts,
-                               seg128, lp128, tbx, P1, T, interp)
+                               seg128, lp128, tbx, P1, T, mt, relayout,
+                               interp)
     y = pl.pallas_call(
         kernel,
         grid=(1 + P1 + T, br + 1),
@@ -231,10 +262,10 @@ def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pin
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pout
         ],
-        out_specs=pl.BlockSpec((ts, L_out),
-                               lambda g, rr: (jnp.clip(g - 1 - P1, 0, T - 1),
-                                              0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (mt * ts, L_out),
+            lambda g, rr: (jnp.clip(g - 1 - P1, 0, T - 1) // mt, 0),
+            memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T * ts, L_out), out_dtype),
         scratch_shapes=[pltpu.VMEM((bc * seg128, _LANE), x.dtype)],
         interpret=interp,

@@ -92,10 +92,20 @@ def _aggregate(strength) -> np.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class AmgLevel:
-    a: CSR  # level operator (device)
-    p: CSR  # prolongator (n_fine × n_coarse, device)
-    r: CSR  # restriction = Pᵀ (device)
+    # operators are whatever plan the router picked: a DiaMatrix (banded
+    # levels), PohMatrix (unstructured levels), dense jax.Array (small
+    # levels), or device CSR (route="csr" — the gather fallback); the
+    # generic `spmv` dispatch serves them all
+    a: object  # level operator (device)
+    p: object  # prolongator (n_fine × n_coarse, device)
+    r: object  # restriction = Pᵀ (device)
     dinv: jax.Array  # 1/diag(a) for Jacobi smoothing (device)
+
+
+def _apply_op(op, x):
+    if isinstance(op, jax.Array):
+        return op @ x
+    return spmv(op, x)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,12 +129,12 @@ class AmgPrecond:
         w = self.omega
         x = w * level.dinv * b  # first sweep from x = 0
         for _ in range(self.nu_pre - 1):
-            x = x + w * level.dinv * (b - spmv(level.a, x))
-        resid = b - spmv(level.a, x)
-        xc = self._cycle(spmv(level.r, resid), lvl + 1)
-        x = x + spmv(level.p, xc)
+            x = x + w * level.dinv * (b - _apply_op(level.a, x))
+        resid = b - _apply_op(level.a, x)
+        xc = self._cycle(_apply_op(level.r, resid), lvl + 1)
+        x = x + _apply_op(level.p, xc)
         for _ in range(self.nu_post):
-            x = x + w * level.dinv * (b - spmv(level.a, x))
+            x = x + w * level.dinv * (b - _apply_op(level.a, x))
         return x
 
     def apply(self, r):
@@ -137,7 +147,8 @@ class AmgPrecond:
 def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 / 3.0,
                              nu_pre: int = 1, nu_post: int = 1, smooth: bool = True,
                              max_levels: int = 12, coarse_size: int = 256,
-                             dtype=None) -> AmgPrecond:
+                             dtype=None, route: str = "auto",
+                             dense_cutoff: int = 2048) -> AmgPrecond:
     """Build a smoothed-aggregation AMG hierarchy for SPD ``a``.
 
     ``theta`` is the strength threshold (smaller ⇒ coarser aggregates);
@@ -145,6 +156,15 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
     setup, slower convergence.  ``dtype`` overrides the apply precision
     (e.g. ``jnp.float32`` to run the V-cycle at MXU-native precision
     inside an f64 outer solve via :func:`~cask_tpu.solvers.ir_solve`).
+
+    ``route='auto'`` sends each level operator through the fastest
+    device path — DIA plans for banded levels, POH (gather-free one-hot
+    MXU) for unstructured ones, dense matmuls below ``dense_cutoff``
+    rows.  On TPU the csr_xla gather formulation runs at ~65 Mnnz/s
+    (PERF.md), which made the V-cycle apply-dominated exactly like exact
+    ILU (probe_amg1: 489 ms/cycle — VERDICT r2 item 7); routing is what
+    makes AMG the *usable* shipped alternative.  ``route='csr'`` keeps
+    the old behavior (reference/debug).
     """
     import scipy.sparse as sp
 
@@ -152,7 +172,24 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
     levels: List[AmgLevel] = []
 
     def put(mat_sp):
-        m = from_scipy(mat_sp.tocsr(), format="csr")
+        mat_sp = mat_sp.tocsr()
+        apply_dt = np.dtype(dtype) if dtype is not None else mat_sp.dtype
+        if route == "auto":
+            m_, n_ = mat_sp.shape
+            if max(m_, n_) <= dense_cutoff:
+                return jnp.asarray(mat_sp.toarray().astype(apply_dt))
+            csr = from_scipy(mat_sp, format="csr")
+            if dtype is not None:
+                csr = csr.astype(dtype)
+            from cask_tpu.ops.dia import dia_plan, estimate_dia_traffic
+
+            est = estimate_dia_traffic(csr)
+            if est is not None:
+                return dia_plan(csr).device_put()
+            from cask_tpu.ops.pallas.poh_kernels import poh_plan
+
+            return poh_plan(csr).device_put()
+        m = from_scipy(mat_sp, format="csr")
         if dtype is not None:
             m = m.astype(dtype)
         return m.device_put()

@@ -375,3 +375,14 @@ class TestBdiaSpmmRing:
         s = to_scipy(a)
         np.testing.assert_allclose(np.asarray(Y2), s @ (s @ X),
                                    rtol=1e-12, atol=1e-11)
+
+    @pytest.mark.parametrize("relayout", ["mxu", "xlu"])
+    def test_relayout_variants_exact(self, relayout):
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
+
+        a = fem_blocks(9, dof=4, dtype=np.float64)
+        plan = bdia_plan(a, (4, 4))
+        x = np.random.default_rng(17).standard_normal(a.shape[1])
+        y = bdia_spmv_pallas_fused(plan, x, relayout=relayout)
+        np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x),
+                                   rtol=1e-12, atol=1e-12)
