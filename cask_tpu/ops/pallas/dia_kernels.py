@@ -1180,3 +1180,153 @@ def dia_spmm_pallas_kt(a: "_dia.DiaMatrix", x):
     k = int(x.shape[1])
     yt = dia_spmm_pallas_kt_padded(a, pad_xt_spmm(a, x))
     return yt[:k, :m].T
+
+
+# ---------------------------------------------------------------------------
+# EXPERIMENTAL (VERDICT r2 item 5): MXU-hybrid ring SpMM.
+#
+# The ring kernel's measured 0.385-of-roofline ceiling decomposed to the
+# ±1-row shifted reads (PERF.md "SpMM k=128").  This variant absorbs
+# every near diagonal (|off| ≤ bw, e.g. the stencil's {-1, 0, 1}) into a
+# per-sub-tile banded-dense MXU contraction — Y_sub += A3 @ U where
+# A3[r, j] = v_off[r] at j = r + off + bw is built from iota masks and U
+# is the (tmx + 2bw)-row X window — so the misaligned reads vanish into
+# the systolic array's own operand staging.  Far diagonals (±ny: aligned
+# or sublane-aligned) stay VPU pieces.  MACs are (tmx+2bw)/(2bw+1)-fold
+# redundant; the experiment is whether trading redundant MXU MACs for
+# the VPU realignment wall wins.  Dispatched only explicitly
+# (method-level opt-in); the probe decides its fate.
+# ---------------------------------------------------------------------------
+
+
+def _spmm_ring_mxu_kernel(offsets, near, bw, tmx, tm, kp, p0, T, TT, pret,
+                          x_hbm, v_ref, o_ref, banks, sems):
+    tt = pl.program_id(0)
+    nstrips = TT
+
+    def strip_dma(s):
+        return [(slot, pltpu.make_async_copy(
+            x_hbm.at[pl.ds(s * tm, tm), :], banks.at[slot], sems.at[slot]))
+            for slot in range(4)]
+
+    def start(s):
+        for slot, dma in strip_dma(s):
+            @pl.when((s % 4 == slot) & (s < nstrips))
+            def _(dma=dma):
+                dma.start()
+
+    def wait(s):
+        for slot, dma in strip_dma(s):
+            @pl.when((s % 4 == slot) & (s < nstrips))
+            def _(dma=dma):
+                dma.wait()
+
+    @pl.when(tt == 0)
+    def _():
+        for s in range(3):
+            start(jnp.int32(s))
+        wait(jnp.int32(0))
+        wait(jnp.int32(1))
+
+    @pl.when(tt > 0)
+    def _():
+        start(tt + 2)
+        wait(tt + 1)
+
+    in_body = (tt >= p0) & (tt < p0 + T)
+
+    @pl.when(jnp.logical_not(in_body))
+    def _():
+        o_ref[...] = jnp.zeros((tm, kp), dtype=o_ref.dtype)
+
+    @pl.when(in_body)
+    def _():
+        vt = v_ref[...] if pret else v_ref[...].T  # (tm, D)
+        acc_t = jnp.promote_types(o_ref.dtype, jnp.float32)
+        acc = jnp.zeros((tm, kp), dtype=acc_t)
+
+        # far diagonals: the ring kernel's two-slice VPU pieces
+        for d, off in enumerate(offsets):
+            if off in near:
+                continue
+            q, r = divmod(off, tm)
+            a_idx = jax.lax.rem(tt + jnp.int32(q), jnp.int32(4))
+            hi_part = banks[pl.ds(a_idx, 1), pl.ds(r, tm - r), :][0]
+            if r == 0:
+                sh = hi_part
+            else:
+                b_idx = jax.lax.rem(tt + jnp.int32(q + 1), jnp.int32(4))
+                lo_part = banks[pl.ds(b_idx, 1), pl.ds(0, r), :][0]
+                sh = jnp.concatenate([hi_part, lo_part], axis=0)
+            acc = acc + vt[:, d : d + 1].astype(acc_t) * sh.astype(acc_t)
+
+        # near band via MXU: W = rows [tt*tm - bw, tt*tm + tm + bw)
+        prev_i = jax.lax.rem(tt + jnp.int32(-1), jnp.int32(4))
+        next_i = jax.lax.rem(tt + jnp.int32(1), jnp.int32(4))
+        cur_i = jax.lax.rem(tt, jnp.int32(4))
+        W = jnp.concatenate([
+            banks[pl.ds(prev_i, 1), pl.ds(tm - bw, bw), :][0],
+            banks[pl.ds(cur_i, 1), :, :][0],
+            banks[pl.ds(next_i, 1), pl.ds(0, bw), :][0],
+        ], axis=0)  # (tm + 2bw, kp)
+        wb = 2 * bw + 1
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (tmx, tmx + 2 * bw), 0)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (tmx, tmx + 2 * bw), 1)
+        for i in range(tm // tmx):
+            a3 = jnp.zeros((tmx, tmx + 2 * bw), dtype=jnp.bfloat16)
+            for d, off in enumerate(offsets):
+                if off not in near:
+                    continue
+                vcol = vt[i * tmx : (i + 1) * tmx, d : d + 1].astype(jnp.bfloat16)
+                a3 = a3 + jnp.where(iota_j == iota_r + (off + bw),
+                                    vcol, jnp.bfloat16(0))
+            u = W[i * tmx : i * tmx + tmx + 2 * bw].astype(jnp.bfloat16)
+            y_sub = jax.lax.dot_general(a3, u, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            acc = acc.at[i * tmx : (i + 1) * tmx].add(y_sub.astype(acc_t))
+        _ = wb
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def dia_spmm_pallas_ring_mxu_padded(a: "_dia.DiaMatrix", xp, *,
+                                    out_dtype=None, near_bw: int = 8,
+                                    tmx: int = 256):
+    """EXPERIMENTAL: ring SpMM with the near band on the MXU (bf16
+    operands, f32 accumulate — ~1e-3 class on the near band).  Same
+    strip layout contract as :func:`dia_spmm_pallas_ring_padded`."""
+    kp = int(xp.shape[1])
+    D = a.ndiags
+    if out_dtype is None:
+        out_dtype = _ring_out_dtype(a, xp.dtype)
+    db = jnp.dtype(xp.dtype).itemsize
+    tm, p0, p1 = _ring_geometry(a, kp, db, jnp.dtype(out_dtype).itemsize)
+    T = a.m_pad // tm
+    TT = p0 + T + p1
+    near = tuple(o for o in a.offsets if abs(o) <= near_bw)
+    bw = max((abs(o) for o in near), default=0)
+    if not near or tm % tmx:
+        raise ValueError("no near diagonals within near_bw or tmx misfit")
+    pret = a.vals_t is not None
+    if pret:
+        v_spec = pl.BlockSpec((tm, D), lambda tt: (jnp.clip(tt - p0, 0, T - 1), 0),
+                              memory_space=pltpu.VMEM)
+        v_operand = a.vals_t
+    else:
+        v_spec = pl.BlockSpec((D, tm), lambda tt: (0, jnp.clip(tt - p0, 0, T - 1)),
+                              memory_space=pltpu.VMEM)
+        v_operand = a.vals
+    kernel = functools.partial(_spmm_ring_mxu_kernel, a.offsets, near, bw,
+                               tmx, tm, kp, p0, T, TT, pret)
+    return pl.pallas_call(
+        kernel,
+        grid=(TT,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), v_spec],
+        out_specs=pl.BlockSpec((tm, kp), lambda tt: (tt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TT * tm, kp), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, tm, kp), xp.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=_interpret(),
+    )(xp, v_operand)

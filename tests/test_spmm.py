@@ -150,3 +150,28 @@ class TestSpmmBdiaDispatch:
         xt = np.random.default_rng(12).standard_normal((a.shape[0], k))
         yt = spmm(plan, jnp.asarray(xt), transpose=True)
         np.testing.assert_allclose(np.asarray(yt), to_scipy(a).T @ xt, rtol=1e-11)
+
+
+class TestRingMxuHybrid:
+    """EXPERIMENTAL MXU-hybrid ring SpMM (VERDICT r2 item 5): near band
+    on the systolic array, far diagonals on the VPU."""
+
+    def test_matches_ring_within_bf16(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.formats.generate import stencil_2d
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.ops.pallas.dia_kernels import (
+            dia_spmm_pallas_ring_mxu_padded, from_spmm_ring, to_spmm_ring)
+
+        a = stencil_2d(64, dtype=np.float32)
+        plan = dia_plan(a)
+        X = np.random.default_rng(0).standard_normal(
+            (a.shape[1], 128)).astype(np.float32)
+        xp = to_spmm_ring(plan, jnp.asarray(X))
+        Y = np.asarray(from_spmm_ring(
+            plan, dia_spmm_pallas_ring_mxu_padded(plan, xp), 128,
+            layout_dtype=np.float32))
+        ref = to_scipy(a) @ X
+        assert np.abs(Y - ref).max() / np.abs(ref).max() < 5e-3
