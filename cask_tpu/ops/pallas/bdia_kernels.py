@@ -128,55 +128,45 @@ def _perm_dot_exact(w, p, interpret: bool):
     return dot(b0) + dot(b1) + dot(b2)
 
 
-def _xlu_deinterleave(w, bc: int):
-    """(rows, 128·bc) natural slab → (rows, bc, 128) component planes
-    via the transpose unit (no MXU passes, bit-exact in any dtype)."""
-    return jnp.swapaxes(w.reshape(w.shape[0], _LANE, bc), 1, 2)
-
-
-def _xlu_interleave(A, br: int):
-    """(rows, br·128) component lane-groups → natural (rows, 128·br)."""
-    return jnp.swapaxes(A.reshape(A.shape[0], br, _LANE), 1, 2).reshape(
-        A.shape[0], br * _LANE)
-
-
 def _bdia_fused_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T, mt,
-                       relayout, interpret, xn_ref, v_ref, pin_ref, pout_ref,
+                       spt, interpret, xn_ref, v_ref, pin_ref, pout_ref,
                        o_ref, xs_ref):
-    # grid (1 + P1 + T, br + 1): dim 0 = phases (zero / de-interleave /
-    # value tiles), dim 1 = output component r (last sub-step merges).
-    # One output block stays VMEM-resident across its mt·(br+1) sub-steps
-    # (mt = tiles per output block: 2 when T is even so the merge matmul
-    # runs at M=2·ts for full MXU utilization).
+    # grid (1 + T, br + 1): step 0 = prologue (zero scratch + slab 0),
+    # step g ≥ 1 = value tile t = g−1.  De-interleave slabs are
+    # INTERLEAVED into the tile schedule — slab p lands at tile
+    # (p−1)·spt, always ≥ one slab ahead of the tile windows' reach — so
+    # their MXU passes hide under the value-stream DMA instead of
+    # running as a serial prefix (probe_fused1/2: the serial-phase
+    # version paid ~90 µs at 1M rows; the value-block index is also
+    # pinned during the prologue so the pipeline never re-fetches slabs
+    # of values it already holds).  dim 1 = output component r; the last
+    # sub-step merges the block (pout permutation) at M = mt·ts.
     g = pl.program_id(0)
     rr = pl.program_id(1)
+    t = g - 1
+
+    def do_slab(p):
+        # (tbx, 128·bc) @ perm → lanes [c·128, (c+1)·128) = component c
+        w = _perm_dot_exact(xn_ref[...], pin_ref[...], interpret)
+        w = w.astype(xs_ref.dtype)
+        for c in range(bc):
+            xs_ref[pl.ds(c * seg128 + lp128 + p * tbx, tbx), :] = \
+                w[:, c * _LANE : (c + 1) * _LANE]
 
     @pl.when((g == 0) & (rr == 0))
-    def _zero():
+    def _prologue():
         # structural-zero discipline: every pad region of the component
         # segments reads as 0 in the FMA windows
         xs_ref[...] = jnp.zeros_like(xs_ref)
+        do_slab(jnp.int32(0))
 
-    @pl.when((g >= 1) & (g <= P1) & (rr == 0))
-    def _deint():
-        # de-interleave one natural-x slab into the component segments
-        p = g - 1
-        if relayout == "xlu":
-            w = _xlu_deinterleave(xn_ref[...], bc)
-            for c in range(bc):
-                xs_ref[pl.ds(c * seg128 + lp128 + p * tbx, tbx), :] = w[:, c]
-        else:
-            # (tbx, 128·bc) @ perm → lanes [c·128, (c+1)·128) = comp. c
-            w = _perm_dot_exact(xn_ref[...], pin_ref[...], interpret)
-            w = w.astype(xs_ref.dtype)
-            for c in range(bc):
-                xs_ref[pl.ds(c * seg128 + lp128 + p * tbx, tbx), :] = \
-                    w[:, c * _LANE : (c + 1) * _LANE]
+    @pl.when((g >= 1) & (rr == 0) & (t % spt == 0) & (t // spt + 1 < P1))
+    def _slab():
+        do_slab(t // spt + 1)
 
-    t = g - 1 - P1
     for half in range(mt):
         for r in range(br):
-            @pl.when((g > P1) & (rr == r) & (t % mt == half))
+            @pl.when((g >= 1) & (rr == r) & (t % mt == half))
             def _compute(r=r, half=half):
                 acc = jnp.zeros((ts, _LANE), dtype=o_ref.dtype)
                 for j, (c, q, s) in enumerate(pair_qs):
@@ -186,20 +176,16 @@ def _bdia_fused_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T, mt,
                 o_ref[half * ts : (half + 1) * ts,
                       r * _LANE : (r + 1) * _LANE] = acc
 
-    @pl.when((g > P1) & (rr == br) & (t % mt == mt - 1))
+    @pl.when((g >= 1) & (rr == br) & (t % mt == mt - 1))
     def _merge():
         # interleave the br component lane-groups back to natural order —
         # one exact relayout per output block, overlapping the next value
         # slab's DMA in the Mosaic pipeline (no separate XLA pass)
-        if relayout == "xlu":
-            merged = _xlu_interleave(o_ref[...], br)
-        else:
-            merged = _perm_dot_exact(o_ref[...], pout_ref[...], interpret)
+        merged = _perm_dot_exact(o_ref[...], pout_ref[...], interpret)
         o_ref[...] = merged.astype(o_ref.dtype)
 
 
-def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x, *,
-                           relayout: str = "mxu"):
+def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x):
     """One-shot SpMV on NATURAL-order x → natural-order y.
 
     The component de-interleave/interleave runs *inside* the kernel
@@ -207,11 +193,11 @@ def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x, *,
     so the one-shot path pays zero XLA relayout passes and the relayout
     work hides under the HBM-bound value stream.
 
-    ``relayout``: 'mxu' = exact 3-pass bf16-split permutation matmuls
-    (paired-tile merge for full systolic-array utilization, see
-    :func:`_perm_dot_exact`); 'xlu' = transpose-unit ``swapaxes``
-    interleave (no MXU passes at all, bit-exact in any dtype).  Both are
-    exact; the probe decides which ships as default.
+    Exact for f32 via the in-Mosaic 3-pass bf16 split
+    (:func:`_perm_dot_exact`); paired-tile merges run at M = 2·ts for
+    systolic-array utilization.  (A transpose-unit ``swapaxes`` relayout
+    was tried and crashes the Mosaic compiler — probe_fused2; MXU
+    permutation is the shipped route.)
     """
     br, bc = a.blocksize
     m, n = a.shape
@@ -238,33 +224,41 @@ def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x, *,
     if jnp.bfloat16 in (a.vals.dtype, x.dtype):
         out_dtype = jnp.promote_types(out_dtype, jnp.float32)
 
+    if hi > tbx * _LANE:
+        # the interleaved slab schedule stays exactly one slab ahead of
+        # the windows' forward reach; a wider-than-slab hi would need a
+        # multi-slab prologue the single-block pipeline can't feed
+        raise ValueError("fused BDIA kernel needs hi <= 16384 block "
+                         "offsets (use the resident path)")
+    spt = tbx // ts  # tiles consumed per de-interleave slab
+
     interp = _interpret()
     pd = x.dtype if interp or x.dtype == jnp.float64 else jnp.bfloat16
     pin = jnp.asarray(_bdia._deint_perm(bc), pd)
     pout = jnp.asarray(_bdia._deint_perm(br).T, pd)
-    mt = 2 if (relayout == "mxu" and T % 2 == 0) else 1
+    mt = 2 if T % 2 == 0 else 1
 
     kernel = functools.partial(_bdia_fused_kernel, pair_qs, br, bc, ts,
-                               seg128, lp128, tbx, P1, T, mt, relayout,
-                               interp)
+                               seg128, lp128, tbx, P1, T, mt, spt, interp)
     y = pl.pallas_call(
         kernel,
-        grid=(1 + P1 + T, br + 1),
+        grid=(1 + T, br + 1),
         in_specs=[
-            pl.BlockSpec((tbx, L_in),
-                         lambda g, rr: (jnp.clip(g - 1, 0, P1 - 1), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npairs, ts, _LANE),
-                         lambda g, rr: (jnp.clip(rr, 0, br - 1),
-                                        jnp.clip(g - 1 - P1, 0, T - 1),
-                                        0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tbx, L_in),
+                lambda g, rr: (jnp.clip((g - 1) // spt + 1, 0, P1 - 1), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, npairs, ts, _LANE),
+                lambda g, rr: (jnp.where(g < 1, 0, jnp.clip(rr, 0, br - 1)),
+                               jnp.clip(g - 1, 0, T - 1), 0, 0, 0),
+                memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pin
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pout
         ],
         out_specs=pl.BlockSpec(
             (mt * ts, L_out),
-            lambda g, rr: (jnp.clip(g - 1 - P1, 0, T - 1) // mt, 0),
+            lambda g, rr: (jnp.clip(g - 1, 0, T - 1) // mt, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T * ts, L_out), out_dtype),
         scratch_shapes=[pltpu.VMEM((bc * seg128, _LANE), x.dtype)],
@@ -341,9 +335,10 @@ def _bdia_mm_geometry(a: "_bdia.BdiaMatrix", kp: int, db_in: int,
     for tm in (1024, 512, 256, 128):
         if a.nb_pad % tm or lo_b > tm or hi_b > tm:
             continue
+        br = a.blocksize[0]
         need = (bc * _MM_BANKS * tm * kp * db_in  # component strip rings
-                + 3 * tm * kp * db_out            # out block + acc temp
-                + 2 * tm * a.npairs * dv)         # value tiles
+                + (2 * br + 1) * tm * kp * db_out  # out blocks + acc temp
+                + 2 * tm * a.npairs * dv)          # value tiles
         if need <= _SPMM_VMEM_BUDGET:
             return tm
     return None
@@ -437,7 +432,14 @@ def _bdia_spmm_ring_kernel(pairs, bc, tm, kp, T, interpret, x_hbm, v_ref,
             lo_part = banks[pl.ds(b_idx, 1), pl.ds(0, r2), :][0]
             sh = jnp.concatenate([hi_part, lo_part], axis=0)
         acc = acc + vt[:, j : j + 1].astype(acc_t) * sh.astype(acc_t)
-    o_ref[...] = acc.astype(o_ref.dtype)[:, None, :]
+    # the out block spans all br components (a (tm, 1, kp) block is not
+    # a legal Mosaic tile — last two dims must be (8k, 128m) or whole);
+    # each rr sub-step writes its own middle slice, statically unrolled
+    br = o_ref.shape[1]
+    for rs in range(br):
+        @pl.when(r == rs)
+        def _(rs=rs):
+            o_ref[:, rs, :] = acc.astype(o_ref.dtype)
 
 
 def bdia_spmm_pallas_ring(a: "_bdia.BdiaMatrix", x, *, out_dtype=None):
@@ -481,7 +483,7 @@ def bdia_spmm_pallas_ring(a: "_bdia.BdiaMatrix", x, *, out_dtype=None):
             pl.BlockSpec((1, 1, tm, a.npairs), lambda tt, r: (r, tt, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tm, 1, kp), lambda tt, r: (tt, r, 0),
+        out_specs=pl.BlockSpec((tm, br, kp), lambda tt, r: (tt, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, br, kp), out_dtype),
         scratch_shapes=[

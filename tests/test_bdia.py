@@ -376,13 +376,14 @@ class TestBdiaSpmmRing:
         np.testing.assert_allclose(np.asarray(Y2), s @ (s @ X),
                                    rtol=1e-12, atol=1e-11)
 
-    @pytest.mark.parametrize("relayout", ["mxu", "xlu"])
-    def test_relayout_variants_exact(self, relayout):
+    def test_interleaved_slab_schedule_exact(self):
+        # larger T so the slab-into-tile interleave and paired merges
+        # both exercise (VERDICT r2 item 2 rework after probe_fused2)
         from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
 
         a = fem_blocks(9, dof=4, dtype=np.float64)
         plan = bdia_plan(a, (4, 4))
         x = np.random.default_rng(17).standard_normal(a.shape[1])
-        y = bdia_spmv_pallas_fused(plan, x, relayout=relayout)
+        y = bdia_spmv_pallas_fused(plan, x)
         np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x),
                                    rtol=1e-12, atol=1e-12)
