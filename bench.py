@@ -150,7 +150,28 @@ def main():
         return meas, bytes_op, {"matrix": f"fem_dof{dof}_{nx}x{nx}",
                                 "rows": nB, "nnz": nnzB}
 
+    def bdia_fused(dtype):
+        # one-shot natural-layout spmv: in-kernel component relayout
+        # (interleaved slab schedule) — what plain `spmv(bsr, x)` pays
+        from cask_tpu.formats.device_gen import fem_bdia_device
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
+
+        nx, dof = (512 if on_tpu else 64), 4
+        plan = fem_bdia_device(nx, dof=dof, dtype=dtype)
+        plan = dataclasses.replace(
+            plan, vals=plan.vals * jnp.asarray(1.0 / (8.0 * dof), dtype))
+        nB = plan.shape[0]
+        nnzB = (nx * nx + 4 * nx * (nx - 1)) * dof * dof
+        bytes_op = nnzB * jnp.dtype(dtype).itemsize + 2 * nB * 4
+        xB = jax.jit(lambda: jax.random.normal(
+            jax.random.PRNGKey(3), (nB,), jnp.float32))()
+        meas = measure_chained(
+            lambda v: bdia_spmv_pallas_fused(plan, v), xB)
+        return meas, bytes_op, {"matrix": f"fem_dof{dof}_{nx}x{nx}",
+                                "rows": nB, "nnz": nnzB}
+
     try_variant("bdia_fem_f32", lambda: bdia_fem(jnp.float32))
+    try_variant("bdia_fused_oneshot_f32", lambda: bdia_fused(jnp.float32))
     try_variant("bdia_fem_bf16v", lambda: bdia_fem(jnp.float32,
                                                    vals_dtype=jnp.bfloat16))
     try_variant("pallas_il_stream_f32", lambda: pallas_il_stream(jnp.float32))

@@ -39,7 +39,7 @@ from cask_tpu.formats.reorder import reorder_rcm, bandwidth  # noqa: F401
 from cask_tpu.ops import spmv, spmm, spgemm, trisolve, ilu0, sp_add, shift_identity  # noqa: F401
 from cask_tpu.ops.spmv import transposed  # noqa: F401
 from cask_tpu.ops.dia import DiaMatrix, DiaOperator, dia_plan, solver_operator  # noqa: F401
-from cask_tpu.ops.bdia import BdiaMatrix, bdia_plan  # noqa: F401
+from cask_tpu.ops.bdia import BdiaMatrix, BdiaOperator, bdia_plan  # noqa: F401
 from cask_tpu.tune import tune, TunedSpmv  # noqa: F401
 from cask_tpu import solvers  # noqa: F401
 from cask_tpu import parallel  # noqa: F401

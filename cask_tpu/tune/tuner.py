@@ -77,6 +77,19 @@ class Variant:
 
                 plan = bdia_plan(a, (b, b)).device_put()
                 return plan, plan.spmv
+            if k > 64:
+                # wide-k block SpMM: the BDIA ring (exactly-nnz value
+                # stream, X/Y cross HBM once in natural layout) beats
+                # the per-block-DMA MXU kernel (0.26 roofline)
+                from cask_tpu.ops.bdia import bdia_plan
+                from cask_tpu.ops.pallas.bdia_kernels import bdia_mm_ok
+
+                plan = bdia_plan(a, (b, b))
+                if bdia_mm_ok(plan, k):
+                    from cask_tpu.ops.spmm import spmm as _spmm_dispatch
+
+                    dev = plan.device_put()
+                    return dev, lambda x: _spmm_dispatch(dev, x)
             from cask_tpu.ops.pallas.bsr_kernels import BsrSpmmKernel
 
             kern = BsrSpmmKernel.plan(csr_to_bsr(a, (b, b)), k=k)
