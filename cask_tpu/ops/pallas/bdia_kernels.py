@@ -18,6 +18,7 @@ rows/cols carry zero values, so no masks exist in the loop).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -129,8 +130,8 @@ def _perm_dot_exact(w, p, interpret: bool):
 
 
 def _bdia_fused_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T, mt,
-                       spt, interpret, xn_ref, v_ref, pin_ref, pout_ref,
-                       o_ref, xs_ref):
+                       spt, rtx_pad, interpret, xn_ref, v_ref, pin_ref,
+                       pout_ref, o_ref, xs_ref):
     # grid (1 + T, br + 1): step 0 = prologue (zero scratch + slab 0),
     # step g ≥ 1 = value tile t = g−1.  De-interleave slabs are
     # INTERLEAVED into the tile schedule — slab p lands at tile
@@ -156,8 +157,19 @@ def _bdia_fused_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T, mt,
     @pl.when((g == 0) & (rr == 0))
     def _prologue():
         # structural-zero discipline: every pad region of the component
-        # segments reads as 0 in the FMA windows
-        xs_ref[...] = jnp.zeros_like(xs_ref)
+        # segments reads as 0 in the FMA windows.  Only the head/tail
+        # pad strips need zeroing — rows [lp128, lp128+rtx_pad) are
+        # covered by the slab writes (xn itself is zero-padded), so the
+        # full-scratch memset (4.2 MB serial VPU fill at 1M rows) is
+        # avoided.
+        tail = seg128 - lp128 - rtx_pad
+        for c in range(bc):
+            if lp128:
+                xs_ref[pl.ds(c * seg128, lp128), :] = jnp.zeros(
+                    (lp128, _LANE), xs_ref.dtype)
+            if tail > 0:
+                xs_ref[pl.ds(c * seg128 + lp128 + rtx_pad, tail), :] = \
+                    jnp.zeros((tail, _LANE), xs_ref.dtype)
         do_slab(jnp.int32(0))
 
     @pl.when((g >= 1) & (rr == 0) & (t % spt == 0) & (t // spt + 1 < P1))
@@ -185,7 +197,9 @@ def _bdia_fused_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T, mt,
         o_ref[...] = merged.astype(o_ref.dtype)
 
 
-def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x):
+def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x, *,
+                           merge_tiles: Optional[int] = None,
+                           slab_rows: int = 128):
     """One-shot SpMV on NATURAL-order x → natural-order y.
 
     The component de-interleave/interleave runs *inside* the kernel
@@ -206,7 +220,9 @@ def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x):
     lp128 = -(-lo // _LANE)
     lp = lp128 * _LANE
     L_in, L_out = _LANE * bc, _LANE * br
-    tbx = 128
+    if slab_rows % _LANE or slab_rows < a.ts:
+        raise ValueError("slab_rows must be a multiple of 128 and >= ts")
+    tbx = slab_rows
     rtx = -(-a.nbc // _LANE)  # natural-x rows of 128 blocks each
     rtx_pad = -(-rtx // tbx) * tbx
     P1 = rtx_pad // tbx
@@ -236,10 +252,16 @@ def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x):
     pd = x.dtype if interp or x.dtype == jnp.float64 else jnp.bfloat16
     pin = jnp.asarray(_bdia._deint_perm(bc), pd)
     pout = jnp.asarray(_bdia._deint_perm(br).T, pd)
-    mt = 2 if T % 2 == 0 else 1
+    if merge_tiles is not None:
+        if T % merge_tiles:
+            raise ValueError(f"merge_tiles={merge_tiles} must divide T={T}")
+        mt = merge_tiles
+    else:
+        mt = 2 if T % 2 == 0 else 1
 
     kernel = functools.partial(_bdia_fused_kernel, pair_qs, br, bc, ts,
-                               seg128, lp128, tbx, P1, T, mt, spt, interp)
+                               seg128, lp128, tbx, P1, T, mt, spt, rtx_pad,
+                               interp)
     y = pl.pallas_call(
         kernel,
         grid=(1 + T, br + 1),
@@ -354,17 +376,24 @@ def bdia_mm_ok(a: "_bdia.BdiaMatrix", k: int) -> bool:
 def _mm_vals_pack(a: "_bdia.BdiaMatrix", tm: int):
     """(br, T, tm, npairs) value tiles for the SpMM grid — a one-time
     device-side repack of the SpMV tiling, memoized on the instance
-    (plan-once discipline)."""
+    (plan-once discipline).
+
+    Never memoize under a trace: if ``a.vals`` is a tracer (spmm called
+    inside jit on a fresh plan), caching it leaks the tracer out of the
+    trace and poisons every later call (probe_bspmm1 hit exactly this —
+    UnexpectedTracerError on the second jit)."""
     cache = getattr(a, "_mm_pack_cache", None)
     if cache is None:
         cache = {}
         object.__setattr__(a, "_mm_pack_cache", cache)
-    if tm not in cache:
-        br = a.blocksize[0]
-        v = a.vals.reshape(br, a.n_tiles, a.npairs, a.ts * _LANE)
-        v = jnp.moveaxis(v, 2, 3).reshape(br, a.nb_pad // tm, tm, a.npairs)
+    if tm in cache:
+        return cache[tm]
+    br = a.blocksize[0]
+    v = a.vals.reshape(br, a.n_tiles, a.npairs, a.ts * _LANE)
+    v = jnp.moveaxis(v, 2, 3).reshape(br, a.nb_pad // tm, tm, a.npairs)
+    if not isinstance(v, jax.core.Tracer):
         cache[tm] = v
-    return cache[tm]
+    return v
 
 
 def _bdia_spmm_ring_kernel(pairs, bc, tm, kp, T, interpret, x_hbm, v_ref,

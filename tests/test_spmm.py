@@ -151,6 +151,37 @@ class TestSpmmBdiaDispatch:
         yt = spmm(plan, jnp.asarray(xt), transpose=True)
         np.testing.assert_allclose(np.asarray(yt), to_scipy(a).T @ xt, rtol=1e-11)
 
+    def test_ring_vals_pack_no_tracer_leak(self):
+        """First call under jit, second call in a fresh jit: the value
+        repack memo must never cache a tracer (probe_bspmm1 regression —
+        UnexpectedTracerError on the second trace)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.formats.generate import fem_blocks
+        from cask_tpu.ops.bdia import bdia_plan
+        from cask_tpu.ops.pallas.bdia_kernels import (bdia_mm_ok,
+                                                      bdia_spmm_pallas_ring)
+
+        a = fem_blocks(16, dof=4, dtype=np.float32)
+        plan = bdia_plan(a, (4, 4))
+        k = 128
+        assert bdia_mm_ok(plan, k)
+        x = np.random.default_rng(5).standard_normal(
+            (a.shape[1], k)).astype(np.float32)
+
+        y1 = jax.jit(lambda v: bdia_spmm_pallas_ring(plan, v))(jnp.asarray(x))
+        # memo must hold a concrete array or nothing — never a tracer
+        for v in getattr(plan, "_mm_pack_cache", {}).values():
+            assert not isinstance(v, jax.core.Tracer)
+        y2 = jax.jit(lambda v: 2.0 * bdia_spmm_pallas_ring(plan, v))(
+            jnp.asarray(x))
+        ref = to_scipy(a) @ x
+        np.testing.assert_allclose(np.asarray(y1), ref, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y2), 2 * ref, rtol=2e-4, atol=1e-5)
+
 
 class TestRingMxuHybrid:
     """EXPERIMENTAL MXU-hybrid ring SpMM (VERDICT r2 item 5): near band
