@@ -1269,9 +1269,9 @@ def _spmm_ring_mxu_kernel(offsets, near, bw, tmx, tm, kp, p0, T, TT, pret,
             banks[pl.ds(cur_i, 1), :, :][0],
             banks[pl.ds(next_i, 1), pl.ds(0, bw), :][0],
         ], axis=0)  # (tm + 2bw, kp)
-        wb = 2 * bw + 1
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (tmx, tmx + 2 * bw), 0)
         iota_j = jax.lax.broadcasted_iota(jnp.int32, (tmx, tmx + 2 * bw), 1)
+        y_subs = []
         for i in range(tm // tmx):
             a3 = jnp.zeros((tmx, tmx + 2 * bw), dtype=jnp.bfloat16)
             for d, off in enumerate(offsets):
@@ -1281,10 +1281,14 @@ def _spmm_ring_mxu_kernel(offsets, near, bw, tmx, tm, kp, p0, T, TT, pret,
                 a3 = a3 + jnp.where(iota_j == iota_r + (off + bw),
                                     vcol, jnp.bfloat16(0))
             u = W[i * tmx : i * tmx + tmx + 2 * bw].astype(jnp.bfloat16)
-            y_sub = jax.lax.dot_general(a3, u, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            acc = acc.at[i * tmx : (i + 1) * tmx].add(y_sub.astype(acc_t))
-        _ = wb
+            y_subs.append(jax.lax.dot_general(
+                a3, u, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(acc_t))
+        # value-indexed .at[].add lowers to an (unimplemented) Mosaic
+        # scatter-add; a concat of the statically-unrolled sub-tiles
+        # keeps the accumulate a plain vector add (probe_spmm_mxu)
+        acc = acc + (y_subs[0] if len(y_subs) == 1
+                     else jnp.concatenate(y_subs, axis=0))
         o_ref[...] = acc.astype(o_ref.dtype)
 
 
