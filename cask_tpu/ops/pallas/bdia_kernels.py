@@ -197,9 +197,67 @@ def _bdia_fused_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T, mt,
         o_ref[...] = merged.astype(o_ref.dtype)
 
 
+def _bdia_fused_flat_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T,
+                            mt, spt, rtx_pad, interpret, xn_ref, v_ref,
+                            pin_ref, pout_ref, o_ref, xs_ref):
+    # flat grid (1 + T,): one step per value tile, ALL br components
+    # computed in-step (value block = (br, 1, npairs, ts, 128)).  The
+    # 2-D (1+T, br+1) schedule exposes ~0.3 µs of fixed cost per grid
+    # step, which dominates small matrices (probe_fused5: 31.6 µs at
+    # 100k rows over 70 steps vs a 10.7 µs traffic floor); this
+    # schedule has 1 + T steps.  Large matrices keep the 2-D schedule
+    # (smaller value blocks pipeline more finely).
+    g = pl.program_id(0)
+    t = g - 1
+
+    def do_slab(p):
+        w = _perm_dot_exact(xn_ref[...], pin_ref[...], interpret)
+        w = w.astype(xs_ref.dtype)
+        for c in range(bc):
+            xs_ref[pl.ds(c * seg128 + lp128 + p * tbx, tbx), :] = \
+                w[:, c * _LANE : (c + 1) * _LANE]
+
+    @pl.when(g == 0)
+    def _prologue():
+        tail = seg128 - lp128 - rtx_pad
+        for c in range(bc):
+            if lp128:
+                xs_ref[pl.ds(c * seg128, lp128), :] = jnp.zeros(
+                    (lp128, _LANE), xs_ref.dtype)
+            if tail > 0:
+                xs_ref[pl.ds(c * seg128 + lp128 + rtx_pad, tail), :] = \
+                    jnp.zeros((tail, _LANE), xs_ref.dtype)
+        do_slab(jnp.int32(0))
+
+    @pl.when((g >= 1) & (t % spt == 0) & (t // spt + 1 < P1))
+    def _slab():
+        do_slab(t // spt + 1)
+
+    @pl.when(g >= 1)
+    def _compute():
+        half = jnp.mod(t, mt)
+        for r in range(br):
+            acc = jnp.zeros((ts, _LANE), dtype=o_ref.dtype)
+            for j, (c, q, s) in enumerate(pair_qs):
+                row0 = c * seg128 + t * ts + q
+                acc = acc + v_ref[r, 0, j] * _shifted_window(
+                    xs_ref, row0, s, ts, interpret)
+            o_ref[pl.ds(half * ts, ts), r * _LANE : (r + 1) * _LANE] = acc
+
+    @pl.when((g >= 1) & (t % mt == mt - 1))
+    def _merge():
+        merged = _perm_dot_exact(o_ref[...], pout_ref[...], interpret)
+        o_ref[...] = merged.astype(o_ref.dtype)
+
+
+# flat-grid cutover: value streams below this ride the (1 + T,) grid
+_FUSED_FLAT_MAX_VAL_BYTES = 24 * 1024 * 1024
+
+
 def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x, *,
                            merge_tiles: Optional[int] = None,
-                           slab_rows: int = 128):
+                           slab_rows: int = 128,
+                           flat: Optional[bool] = None):
     """One-shot SpMV on NATURAL-order x → natural-order y.
 
     The component de-interleave/interleave runs *inside* the kernel
@@ -259,29 +317,54 @@ def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x, *,
     else:
         mt = 2 if T % 2 == 0 else 1
 
-    kernel = functools.partial(_bdia_fused_kernel, pair_qs, br, bc, ts,
-                               seg128, lp128, tbx, P1, T, mt, spt, rtx_pad,
-                               interp)
+    if flat is None:
+        flat = a.vals.size * jnp.dtype(a.vals.dtype).itemsize \
+            <= _FUSED_FLAT_MAX_VAL_BYTES
+    if flat:
+        kernel = functools.partial(_bdia_fused_flat_kernel, pair_qs, br, bc,
+                                   ts, seg128, lp128, tbx, P1, T, mt, spt,
+                                   rtx_pad, interp)
+        grid = (1 + T,)
+        xn_spec = pl.BlockSpec(
+            (tbx, L_in),
+            lambda g: (jnp.clip((g - 1) // spt + 1, 0, P1 - 1), 0),
+            memory_space=pltpu.VMEM)
+        v_spec = pl.BlockSpec(
+            (br, 1, npairs, ts, _LANE),
+            lambda g: (0, jnp.clip(g - 1, 0, T - 1), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec(
+            (mt * ts, L_out),
+            lambda g: (jnp.clip(g - 1, 0, T - 1) // mt, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(_bdia_fused_kernel, pair_qs, br, bc, ts,
+                                   seg128, lp128, tbx, P1, T, mt, spt,
+                                   rtx_pad, interp)
+        grid = (1 + T, br + 1)
+        xn_spec = pl.BlockSpec(
+            (tbx, L_in),
+            lambda g, rr: (jnp.clip((g - 1) // spt + 1, 0, P1 - 1), 0),
+            memory_space=pltpu.VMEM)
+        v_spec = pl.BlockSpec(
+            (1, 1, npairs, ts, _LANE),
+            lambda g, rr: (jnp.where(g < 1, 0, jnp.clip(rr, 0, br - 1)),
+                           jnp.clip(g - 1, 0, T - 1), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec(
+            (mt * ts, L_out),
+            lambda g, rr: (jnp.clip(g - 1, 0, T - 1) // mt, 0),
+            memory_space=pltpu.VMEM)
     y = pl.pallas_call(
         kernel,
-        grid=(1 + T, br + 1),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (tbx, L_in),
-                lambda g, rr: (jnp.clip((g - 1) // spt + 1, 0, P1 - 1), 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, npairs, ts, _LANE),
-                lambda g, rr: (jnp.where(g < 1, 0, jnp.clip(rr, 0, br - 1)),
-                               jnp.clip(g - 1, 0, T - 1), 0, 0, 0),
-                memory_space=pltpu.VMEM),
+            xn_spec,
+            v_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pin
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pout
         ],
-        out_specs=pl.BlockSpec(
-            (mt * ts, L_out),
-            lambda g, rr: (jnp.clip(g - 1, 0, T - 1) // mt, 0),
-            memory_space=pltpu.VMEM),
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((T * ts, L_out), out_dtype),
         scratch_shapes=[pltpu.VMEM((bc * seg128, _LANE), x.dtype)],
         interpret=interp,
