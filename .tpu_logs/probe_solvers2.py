@@ -74,4 +74,32 @@ try:
     log(f"lobpcg s={S}: {per*1e6:.1f} us/iter  walls={ {k: round(v,4) for k,v in walls.items()} }")
 except Exception as e:
     log(f"lobpcg FAILED: {type(e).__name__}: {str(e)[:250]}")
+
+# Mixed-precision refinement vs emulated-f64 CG: wall to ||r|| <= 1e-10||b||
+# on a 262k Poisson system (f64 ops are emulated on v5e — the dtype-story
+# measurement, SURVEY §7(e)).
+try:
+    import jax.numpy as jnp
+    from cask_tpu.solvers import ir_solve, cg as _cg
+    from cask_tpu.formats.device_gen import stencil2d_dia_device
+
+    jax.config.update("jax_enable_x64", True)
+    side2 = 512
+    d64 = stencil2d_dia_device(side2, dtype=jnp.float64)
+    b64 = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(3),
+                                            (side2 * side2,), jnp.float64))()
+    fir = jax.jit(lambda v: ir_solve(d64, v, work_dtype=jnp.float32,
+                                     tol=1e-10, inner_tol=1e-6,
+                                     inner_maxiter=400,
+                                     maxiter=8).residual_norm)
+    f64 = jax.jit(lambda v: _cg(d64, v, tol=1e-10, maxiter=3000).residual_norm)
+    for name, f in (("ir_solve(f32 inner)", fir), ("cg pure f64", f64)):
+        t0 = time.time(); r = float(f(b64)); tc = time.time() - t0
+        walls = []
+        for _ in range(3):
+            t0 = time.time(); r = float(f(b64)); walls.append(time.time() - t0)
+        log(f"{name}: wall={min(walls)*1e3:.1f} ms (compile {tc:.1f}s) "
+            f"resid/bnorm={r/float(jnp.linalg.norm(b64)):.2e}")
+except Exception as e:
+    log(f"ir_solve A/B FAILED: {type(e).__name__}: {str(e)[:250]}")
 log("DONE")

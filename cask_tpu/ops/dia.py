@@ -81,6 +81,17 @@ class DiaMatrix:
     def device_put(self, device=None) -> "DiaMatrix":
         return jax.tree.map(lambda x: jax.device_put(x, device), self)
 
+    def astype(self, dtype) -> "DiaMatrix":
+        """Value-dtype cast (plan structure unchanged) — what
+        :func:`cask_tpu.solvers.ir_solve` uses to build its
+        low-precision working copy."""
+        return dataclasses.replace(
+            self,
+            vals=self.vals.astype(dtype),
+            rem_data=self.rem_data.astype(dtype),
+            vals_t=None if self.vals_t is None else self.vals_t.astype(dtype),
+        )
+
     # -- compute ---------------------------------------------------------
 
     def spmv(self, x, *, method: str = "auto"):

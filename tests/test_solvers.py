@@ -355,6 +355,22 @@ class TestIterativeRefinement:
         # converges in a handful of outer refinements, not maxiter
         assert int(res.iterations) <= 6
 
+    def test_dia_plan_input(self):
+        # the performance path: DiaMatrix carries .astype so ir_solve can
+        # build its f32 working copy of the streaming-kernel plan
+        import jax.numpy as jnp
+
+        from cask_tpu.ops.dia import dia_plan
+        from cask_tpu.solvers import ir_solve
+
+        a = stencil_2d(16)
+        d = dia_plan(a)
+        assert d.astype(jnp.float32).vals.dtype == jnp.float32
+        b = np.random.default_rng(8).standard_normal(a.shape[0])
+        res = ir_solve(d, b, work_dtype=jnp.float32, tol=1e-12)
+        relres = np.linalg.norm(to_scipy(a) @ np.asarray(res.x) - b) / np.linalg.norm(b)
+        assert relres < 1e-12
+
     def test_preconditioned_inner(self):
         import jax.numpy as jnp
 
