@@ -1260,27 +1260,34 @@ def _spmm_ring_mxu_kernel(offsets, near, bw, tmx, tm, kp, p0, T, TT, pret,
                 sh = jnp.concatenate([hi_part, lo_part], axis=0)
             acc = acc + vt[:, d : d + 1].astype(acc_t) * sh.astype(acc_t)
 
-        # near band via MXU: W = rows [tt*tm - bw, tt*tm + tm + bw)
+        # near band via MXU: W = rows [tt*tm - bw, tt*tm + tm + bw),
+        # extended so each sub-tile's contraction operand is a full
+        # lane-aligned wpad rows — Mosaic rejects iota compares on a
+        # non-128-multiple minor dim (probe_mxu2: "Invalid relayout"
+        # on vector<256x258xi1>).  Columns beyond tmx+2bw never match
+        # the band condition, so a3 is zero there and the extra u rows
+        # (real rows of the next strip) contribute nothing.
+        wpad = -(-(tmx + 2 * bw) // _LANE) * _LANE
         prev_i = jax.lax.rem(tt + jnp.int32(-1), jnp.int32(4))
         next_i = jax.lax.rem(tt + jnp.int32(1), jnp.int32(4))
         cur_i = jax.lax.rem(tt, jnp.int32(4))
         W = jnp.concatenate([
             banks[pl.ds(prev_i, 1), pl.ds(tm - bw, bw), :][0],
             banks[pl.ds(cur_i, 1), :, :][0],
-            banks[pl.ds(next_i, 1), pl.ds(0, bw), :][0],
-        ], axis=0)  # (tm + 2bw, kp)
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (tmx, tmx + 2 * bw), 0)
-        iota_j = jax.lax.broadcasted_iota(jnp.int32, (tmx, tmx + 2 * bw), 1)
+            banks[pl.ds(next_i, 1), pl.ds(0, wpad - tmx - bw), :][0],
+        ], axis=0)  # (tm + wpad - tmx, kp)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (tmx, wpad), 0)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (tmx, wpad), 1)
         y_subs = []
         for i in range(tm // tmx):
-            a3 = jnp.zeros((tmx, tmx + 2 * bw), dtype=jnp.bfloat16)
+            a3 = jnp.zeros((tmx, wpad), dtype=jnp.bfloat16)
             for d, off in enumerate(offsets):
                 if off not in near:
                     continue
                 vcol = vt[i * tmx : (i + 1) * tmx, d : d + 1].astype(jnp.bfloat16)
                 a3 = a3 + jnp.where(iota_j == iota_r + (off + bw),
                                     vcol, jnp.bfloat16(0))
-            u = W[i * tmx : i * tmx + tmx + 2 * bw].astype(jnp.bfloat16)
+            u = W[i * tmx : i * tmx + wpad].astype(jnp.bfloat16)
             y_subs.append(jax.lax.dot_general(
                 a3, u, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(acc_t))
