@@ -1285,8 +1285,13 @@ def _spmm_ring_mxu_kernel(offsets, near, bw, tmx, tm, kp, p0, T, TT, pret,
                 if off not in near:
                     continue
                 vcol = vt[i * tmx : (i + 1) * tmx, d : d + 1].astype(jnp.bfloat16)
-                a3 = a3 + jnp.where(iota_j == iota_r + (off + bw),
-                                    vcol, jnp.bfloat16(0))
+                # multiply by a 0/1 mask, NOT jnp.where: the select with
+                # a lane-replicated (tmx, 1) branch makes Mosaic demand
+                # an impossible lane-replicated layout for the wide bool
+                # mask ("Invalid relayout ... '16,{0,*},(8,128)'",
+                # probe_mxu2)
+                m01 = (iota_j == iota_r + (off + bw)).astype(jnp.bfloat16)
+                a3 = a3 + vcol * m01
             u = W[i * tmx : i * tmx + wpad].astype(jnp.bfloat16)
             y_subs.append(jax.lax.dot_general(
                 a3, u, (((1,), (0,)), ((), ())),
