@@ -368,33 +368,88 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
 
         return measure_chained(step, x0, k1=5, k2=60, points=3, repeats=2)
 
-    best = None  # (reliable_rank, seconds, var, dev, fn)
+    # Plausibility gate (probe_tune3 post-mortem): in a noisy relay
+    # window EVERY fast variant can time unreliable (two of them
+    # physically impossible), and a blind "reliable outranks unreliable"
+    # rule then picks the one reliable survivor — a 13.7 ms gather path
+    # over a plausible 55.6 µs kernel.  The analytic traffic model gives
+    # each variant a hard lower bound; a reading below half its floor is
+    # a relay artifact and is discarded, and a reliable time may only
+    # outrank an unreliable-but-plausible one within a bounded factor.
+    from cask_tpu.utils.platform import on_tpu as _on_tpu_fn
+
+    _gate = _on_tpu_fn()
+    _BW = 819e9  # v5e HBM; floors only gate on real TPU
+
+    def _floor(v: Variant) -> float:
+        return (v.est_bytes / _BW) if _gate else 0.0
+
+    results_t = []  # (var, dev, fn, info, meas)
     timings = {}  # every variant's measurement persists in the cache
     for var in candidates:
         try:
             dev, fn, info = var.build_full(a, k)
             meas = _time(fn)
-            log.info("tune %s: variant=%s t=%.3g s/op reliable=%s",
-                     cache_key, var.name, meas.seconds_per_iter, meas.reliable)
+            plausible = meas.seconds_per_iter >= 0.5 * _floor(var)
+            log.info("tune %s: variant=%s t=%.3g s/op reliable=%s plausible=%s",
+                     cache_key, var.name, meas.seconds_per_iter,
+                     meas.reliable, plausible)
             timings[var.name] = {"seconds_per_op": meas.seconds_per_iter,
-                                 "reliable": bool(meas.reliable)}
+                                 "reliable": bool(meas.reliable),
+                                 "floor_seconds": _floor(var),
+                                 "plausible": bool(plausible)}
             if not np.isfinite(meas.checksum):
                 continue
-            # a reliable measurement outranks ANY unreliable one: the
-            # relay's unreliable readings can be physically impossible
-            # (probe6c: dia_xla "85 µs" under a 171 µs traffic floor)
-            key = (0 if meas.reliable else 1, meas.seconds_per_iter)
-            if best is None or key < best[0]:
-                best = (key, var, dev, fn, info)
+            results_t.append((var, dev, fn, info, meas))
         except Exception as e:  # a variant failing to build/compile is data
             log.warning("tune %s: variant %s failed: %s", cache_key, var.name, e)
+
+    def _secs(r):
+        return r[4].seconds_per_iter
+
+    tier0 = [r for r in results_t
+             if r[4].reliable and _secs(r) >= 0.5 * _floor(r[0])]
+    tier1 = [r for r in results_t
+             if not r[4].reliable and _secs(r) >= 0.5 * _floor(r[0])]
+    best = min(tier0, key=_secs) if tier0 else None
+    if tier1:
+        u = min(tier1, key=_secs)
+        if best is None or _secs(u) * 8.0 < _secs(best):
+            # the physics gap is too large to ignore; re-measure the
+            # unreliable candidate (compile is cached — cheap) and take
+            # it unless the re-measurements also come out implausible
+            var_u, dev_u, fn_u, info_u, meas_u = u
+
+            def _better(m_new, m_old, v=var_u):
+                if not np.isfinite(m_new.checksum):
+                    return False
+                if m_new.seconds_per_iter < 0.5 * _floor(v):
+                    return False  # still implausible
+                if bool(m_new.reliable) != bool(m_old.reliable):
+                    return bool(m_new.reliable)
+                return m_new.seconds_per_iter < m_old.seconds_per_iter
+
+            for _ in range(2):
+                m2 = _time(fn_u)
+                if _better(m2, meas_u):
+                    meas_u = m2
+                if m2.reliable:
+                    break
+            timings[var_u.name]["seconds_per_op"] = meas_u.seconds_per_iter
+            timings[var_u.name]["reliable"] = bool(meas_u.reliable)
+            u = (var_u, dev_u, fn_u, info_u, meas_u)
+            if best is None or _secs(u) * 8.0 < _secs(best):
+                best = u
+    if best is None and results_t:  # nothing plausible: least-bad reading
+        best = min(results_t, key=lambda r: (not r[4].reliable, _secs(r)))
 
     if best is None:  # always possible: csr_xla
         var = Variant("csr_xla", 0.0)
         dev, fn = var.build(a, k)
-        best = ((1, float("nan")), var, dev, fn, {})
+        best = (var, dev, fn, {}, None)
 
-    (_, secs), var, dev, fn, info = best
+    var, dev, fn, info, meas_b = best
+    secs = meas_b.seconds_per_iter if meas_b is not None else float("nan")
     cache.put(cache_key, {"variant": var.name, "seconds_per_op": secs,
                           "shape": list(a.shape), "nnz": int(a.nnz),
                           "timings": timings})

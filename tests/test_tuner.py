@@ -287,3 +287,85 @@ class TestReorderedApi:
         assert not t.is_reordered
         with _pytest.raises(ValueError):
             t.reordered()
+
+
+class TestPlausibilityGate:
+    """probe_tune3 regression: in a noisy relay window every fast
+    variant times unreliable (some physically impossible), and a blind
+    reliable-first rule picks a 250x slower gather path.  The traffic
+    floor must discard impossible readings, and a plausible unreliable
+    reading >=8x faster than the best reliable one must win."""
+
+    def test_physics_beats_blind_reliability(self, tmp_path, monkeypatch):
+        import dataclasses as dc
+
+        from cask_tpu.utils import platform as plat
+        from cask_tpu.tune import timing as timing_mod
+        from cask_tpu.tune.cache import TunerCache
+
+        # fem blocks: three XLA variants enumerate (dia_xla, bsr_xla:4,
+        # csr_xla), floors ~tens of us at this size
+        a = fem_blocks(158, dof=4, dtype=np.float32)
+
+        @dc.dataclass
+        class FakeMeas:
+            seconds_per_iter: float
+            reliable: bool
+            checksum: float = 1.0
+
+        calls = {"n": 0}
+        # call order == candidate order; re-measures repeat the 3rd value
+        script = [
+            FakeMeas(1e-6, False),   # fastest: physically impossible
+            FakeMeas(5e-2, True),    # reliable but 3 orders slower
+            FakeMeas(3e-4, False),   # plausible unreliable - true winner
+        ]
+
+        def fake_chained(step, x0, **kw):
+            i = min(calls["n"], len(script) - 1)
+            calls["n"] += 1
+            return script[i]
+
+        monkeypatch.setattr(plat, "on_tpu", lambda: True)
+        monkeypatch.setattr(timing_mod, "measure_chained", fake_chained)
+
+        t = tune(a, cache=TunerCache(path=str(tmp_path / "c.json")),
+                 include_pallas=False, time_budget=3)
+        # winner must be the plausible 3e-4 variant, not the reliable
+        # 5e-2 one and not the impossible 1e-6 one
+        assert abs(t.seconds_per_op - 3e-4) < 1e-9, t.seconds_per_op
+
+    def test_reliable_plausible_still_wins_close_races(self, tmp_path,
+                                                       monkeypatch):
+        import dataclasses as dc
+
+        from cask_tpu.utils import platform as plat
+        from cask_tpu.tune import timing as timing_mod
+        from cask_tpu.tune.cache import TunerCache
+
+        a = stencil_2d(512, dtype=np.float32)
+
+        @dc.dataclass
+        class FakeMeas:
+            seconds_per_iter: float
+            reliable: bool
+            checksum: float = 1.0
+
+        calls = {"n": 0}
+        script = [
+            FakeMeas(4e-5, False),   # unreliable, plausible, slightly faster
+            FakeMeas(6e-5, True),    # reliable, plausible: within 8x -> wins
+            FakeMeas(9e-5, True),
+        ]
+
+        def fake_chained(step, x0, **kw):
+            i = min(calls["n"], len(script) - 1)
+            calls["n"] += 1
+            return script[i]
+
+        monkeypatch.setattr(plat, "on_tpu", lambda: True)
+        monkeypatch.setattr(timing_mod, "measure_chained", fake_chained)
+
+        t = tune(a, cache=TunerCache(path=str(tmp_path / "c.json")),
+                 include_pallas=False, time_budget=3)
+        assert abs(t.seconds_per_op - 6e-5) < 1e-9, t.seconds_per_op
