@@ -148,14 +148,17 @@ class TestSpmvPallasFused:
     path."""
 
     @pytest.mark.parametrize("dof", [2, 4, 8])
-    def test_matches_xla_f32(self, dof):
+    @pytest.mark.parametrize("flat", [True, False])
+    def test_matches_xla_f32(self, dof, flat):
+        # both grid schedules: flat (1+T,) for small value streams and
+        # the 2-D (1+T, br+1) pipeline for large ones (probe_fused5/6)
         from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
 
         a = fem_blocks(7, dof=dof, dtype=np.float32)
         plan = bdia_plan(a, (dof, dof))
         rng = np.random.default_rng(10)
         x = rng.standard_normal(a.shape[1]).astype(np.float32)
-        y = bdia_spmv_pallas_fused(plan, x)
+        y = bdia_spmv_pallas_fused(plan, x, flat=flat)
         # the in-kernel 3-pass split relayout is EXACT: parity with the
         # XLA formulation is bitwise on the relayout, fp-roundoff on FMAs
         np.testing.assert_allclose(np.asarray(y), _spmv_ref(a, x),
