@@ -150,15 +150,21 @@ def poh_plan(a: CSR, *, row_panel: int = 4096, col_window=\
     m, n = a.shape
     if tile_slots % _LANE:
         raise ValueError("tile_slots must be a multiple of 128")
+    # Mosaic legality floor: the x-window and accumulator blocks are
+    # (C/128, 128) and (R/128, 128) VMEM tiles, and hardware lowering
+    # needs >= 8 sublanes per block — so R, C >= 1024 always (interpret
+    # mode accepts less and silently diverges from what the chip can
+    # run; probe_amg2 hit this via an auto-sized coarse-level plan).
+    _MINW = 8 * _LANE
     R = max(-(-row_panel // _LANE) * _LANE, _LANE)
-    R = min(R, max(-(-m // _LANE) * _LANE, _LANE))
+    R = max(min(R, max(-(-m // _LANE) * _LANE, _LANE)), _MINW)
     if col_window == "auto":
         nnz_per_panel = max(a.nnz * R / max(m, 1), 1.0)
         span = tile_slots * max(n, 1) / nnz_per_panel
         col_window = 128
         while col_window < min(span, 8192):
             col_window *= 2
-    C = max(-(-int(col_window) // _LANE) * _LANE, _LANE)
+    C = max(-(-int(col_window) // _LANE) * _LANE, _MINW)
     S = tile_slots // _LANE
     T = tile_slots
     nseg = -(-max(n, 1) // C)
