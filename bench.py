@@ -1,17 +1,31 @@
-"""Driver benchmark: one JSON line with the primary metric.
+"""Driver benchmark: JSON lines with the primary metric (last line wins).
 
 Primary metric (BASELINE): tuned SpMV throughput per chip as a fraction
 of the HBM-bandwidth roofline, on a config-2-class stencil matrix
 (~1M rows).  ``vs_baseline`` compares against the ≥0.80 roofline target.
 
-Protocol notes (SURVEY.md §8.2 — the axon-proxied dev TPU defeats naive
-timing):
+Delivery protocol (VERDICT r3 item 1 — the r3 bench timed out and lost
+every measurement because the record printed only at the end):
+
+- a COMPLETE best-so-far record is printed after *every* variant
+  finishes; the driver reads the tail, so the last line wins and a
+  timeout costs only the unmeasured tail, never the headline;
+- an internal wall-clock budget (env ``CASK_BENCH_BUDGET_S``, default
+  420 s) is checked before each variant and each attempt; once exceeded
+  the rest are skipped and recorded in ``detail.skipped``;
+- variants are ordered by expected value (measured r1–r3 standings):
+  the 0.96-class fused/resident BDIA kernels first, scalar tail last at
+  fewer attempts.  The first variant is budget-exempt so a record
+  always exists.
+
+Measurement protocol notes (SURVEY.md §8.2 — the axon-proxied dev TPU
+defeats naive timing):
 - operands are built ON DEVICE (host↔device transfers are pathological),
 - the kernel is iterated *chained* in the zero-copy solver layout with a
   spectrally scaled matrix (A/8 for the 5-point stencil), so back-to-back
   kernel executions are measured with no padding/pool copies in the loop,
-- two iteration counts are wall-clocked and differenced to cancel
-  dispatch/fetch overhead.
+- a k-ladder of iteration counts is wall-clocked and differenced to
+  cancel dispatch/fetch overhead (cask_tpu.tune.timing.measure_chained).
 """
 
 import json
@@ -22,6 +36,9 @@ import time
 
 def main():
     t_start = time.time()
+    budget_s = float(os.environ.get("CASK_BENCH_BUDGET_S", "420"))
+    smoke = bool(os.environ.get("CASK_BENCH_SMOKE"))
+
     import jax
 
     # persistent compile cache: kernel compiles cost minutes through the
@@ -54,9 +71,12 @@ def main():
     on_tpu = _on_tpu()
     HBM_BW = 819e9  # v5e spec; roofline denominator
 
-    side = int(os.environ.get("CASK_BENCH_SIDE", "1024"))
+    side = int(os.environ.get("CASK_BENCH_SIDE", "64" if smoke else "1024"))
     m = side * side
     nnz = 5 * m - 4 * side  # 5-point stencil
+    # smoke mode (CPU truncation test): tiny shapes + short ladders so a
+    # variant costs seconds in interpret mode
+    mc_kw = dict(k1=2, k2=8, points=2, repeats=1) if smoke else {}
 
     def scaled(dtype):
         d = stencil2d_dia_device(side, dtype=dtype)
@@ -66,15 +86,95 @@ def main():
     x0 = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(0), (m,), jnp.float32))()
 
     results = {}
-    ATTEMPTS = 3  # device/relay throughput swings ~2x between windows;
-    # keep each variant's best (least-contended) ladder median
+    unstructured = {"pending": True}
+    skipped = []
+    state = {"truncated": False}
 
-    def try_variant(name, fn):
+    def remaining():
+        return budget_s - (time.time() - t_start)
+
+    def emit():
+        """Print a complete best-so-far record (one JSON line; the driver
+        keeps the tail, so each emission supersedes the previous)."""
+        if not results:
+            print(json.dumps({"metric": "spmv_roofline_frac", "value": 0.0,
+                              "unit": "fraction", "vs_baseline": 0.0,
+                              "error": "no variant completed",
+                              "skipped": skipped}), flush=True)
+            return
+        fracs = {k: v["bytes"] / v["s"] / HBM_BW for k, v in results.items()}
+        # headline pool: f32-value variants only (bf16 value streams are a
+        # different accuracy class AND the relay's impossible-reading
+        # artifacts hit un-normalized bf16 chains hardest — probe_bdia_bf16
+        # read 2.6x roofline once); bf16 numbers stay in the detail record.
+        f32pool = {k: f for k, f in fracs.items() if "bf16" not in k}
+        # a fraction > 1 is physically impossible — noise-corrupted timing;
+        # prefer reliable+plausible > plausible > anything
+        tier1 = [k for k in f32pool if results[k]["reliable"] and fracs[k] <= 1.0]
+        tier2 = [k for k in f32pool if fracs[k] <= 1.0]
+        pool = tier1 or tier2 or list(f32pool) or list(fracs)
+        best = max(pool, key=fracs.get)
+        frac = fracs[best]
+        secs = results[best]["s"]
+        meta = results[best]["meta"]
+        record = {
+            "metric": "spmv_roofline_frac",
+            "value": round(frac, 4),
+            "unit": "fraction_of_819GBs_HBM_roofline",
+            "vs_baseline": round(frac / 0.80, 4),
+            "detail": {
+                "variant": best,
+                "matrix": meta["matrix"],
+                "rows": meta["rows"],
+                "nnz": meta["nnz"],
+                "bytes_per_op": results[best]["bytes"],
+                "seconds_per_op": secs,
+                "gnnz_per_s": round(meta["nnz"] / secs / 1e9, 3),
+                "gflops": round(2 * meta["nnz"] / secs / 1e9, 2),
+                "achieved_GBs": round(frac * HBM_BW / 1e9, 2),
+                "backend": ("tpu" if on_tpu else "cpu"),
+                "on_tpu": on_tpu,
+                "reliable": results[best]["reliable"],
+                # per-variant records each carry their OWN matrix: the bench
+                # mixes stencil5 (dia variants) and fem_dof4 (bdia variants)
+                # matrices, and cross-matrix fraction comparisons are
+                # meaningless without the tag (VERDICT r2 weak-4)
+                "all_variants": {
+                    k: {"us": round(v["s"] * 1e6, 2),
+                        "frac": round(fracs[k], 4),
+                        "matrix": v["meta"]["matrix"],
+                        "reliable": v["reliable"]}
+                    for k, v in results.items()
+                },
+                "unstructured": (None if unstructured.get("pending")
+                                 else unstructured),
+                "truncated": state["truncated"],
+                "skipped": skipped,
+                "budget_s": budget_s,
+                "wall_s": round(time.time() - t_start, 1),
+            },
+        }
+        print(json.dumps(record), flush=True)
+
+    def run_variant(name, fn, attempts, exempt=False):
+        """Budget-gated measurement of one variant; emits after finishing."""
+        need = max(60.0, state.get("last_cost", 60.0) * 0.8)
+        if not exempt and remaining() < (5.0 if smoke else need):
+            state["truncated"] = True
+            skipped.append(name)
+            print(f"# budget exhausted ({remaining():.0f}s left); "
+                  f"skipping {name}", file=sys.stderr)
+            emit()  # keep the tail record's truncated/skipped fields current
+            return
+        t0 = time.time()
         try:
             import numpy as np
 
             best = None
-            for _ in range(ATTEMPTS):
+            for att in range(attempts):
+                if att > 0 and not exempt and remaining() <= 0:
+                    state["truncated"] = True
+                    break
                 out = fn()
                 meas, bytes_op = out[0], out[1]
                 meta = out[2] if len(out) > 2 else {
@@ -88,7 +188,10 @@ def main():
             if best is not None:
                 results[name] = best
         except Exception as e:  # noqa: BLE001
-            print(f"# variant {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            print(f"# variant {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        state["last_cost"] = time.time() - t0
+        emit()
 
     def pallas_layout(dtype, variant="auto"):
         d = scaled(dtype)
@@ -96,14 +199,14 @@ def main():
         xL = jax.jit(lambda v: dk.to_layout(d, v))(x0)
         vt = jax.jit(lambda: dk.pack_vals_tiled(d))()
         meas = measure_chained(
-            lambda v: dk.dia_spmv_pallas_layout(d, v, variant=variant, v_tiled=vt), xL
-        )
+            lambda v: dk.dia_spmv_pallas_layout(d, v, variant=variant, v_tiled=vt),
+            xL, **mc_kw)
         return meas, bytes_op
 
     def xla_chain(dtype):
         d = scaled(dtype)
         bytes_op = d.traffic_bytes + 2 * m * 4
-        meas = measure_chained(lambda v: d._spmv_xla(v), x0)
+        meas = measure_chained(lambda v: d._spmv_xla(v), x0, **mc_kw)
         return meas, bytes_op
 
     def pallas_interleaved(dtype):
@@ -112,8 +215,7 @@ def main():
         xI = jax.jit(lambda v: dk.to_interleaved(d, v))(x0)
         vI = jax.jit(lambda: dk.pack_vals_interleaved(d))()
         meas = measure_chained(
-            lambda v: dk.dia_spmv_pallas_interleaved(d, v, vI), xI
-        )
+            lambda v: dk.dia_spmv_pallas_interleaved(d, v, vI), xI, **mc_kw)
         return meas, bytes_op
 
     def pallas_il_stream(dtype):
@@ -124,144 +226,118 @@ def main():
         xI = jax.jit(lambda v: dk.to_interleaved(d, v))(x0)
         vI = jax.jit(lambda: dk.pack_vals_interleaved(d))()
         meas = measure_chained(
-            lambda v: dk.dia_spmv_pallas_il_stream(d, v, vI), xI
-        )
+            lambda v: dk.dia_spmv_pallas_il_stream(d, v, vI), xI, **mc_kw)
         return meas, bytes_op
+
+    def _fem_plan(dtype, scale=True):
+        from cask_tpu.formats.device_gen import fem_bdia_device
+
+        nx, dof = ((16 if smoke else 512) if on_tpu or smoke else 64), 4
+        plan = fem_bdia_device(nx, dof=dof, dtype=dtype)
+        if scale:
+            plan = dataclasses.replace(
+                plan, vals=plan.vals * jnp.asarray(1.0 / (8.0 * dof), dtype))
+        nB = plan.shape[0]
+        nnzB = (nx * nx + 4 * nx * (nx - 1)) * dof * dof
+        return plan, nB, nnzB, {"matrix": f"fem_dof{dof}_{nx}x{nx}",
+                                "rows": nB, "nnz": nnzB}
 
     def bdia_fem(dtype, *, vals_dtype=None):
         # the north-star kernel: tuned BSR SpMV (BDIA resident layout)
         # on the 1M-row dof-4 FEM-block matrix — zero gathers, zero fill
-        from cask_tpu.formats.device_gen import fem_bdia_device
         from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_resident
 
-        nx, dof = (512 if on_tpu else 64), 4  # CPU smoke stays interpretable
-        plan = fem_bdia_device(nx, dof=dof, dtype=dtype)
-        vals = plan.vals * jnp.asarray(1.0 / (8.0 * dof), dtype)
+        plan, nB, nnzB, meta = _fem_plan(dtype)
         if vals_dtype is not None:  # bf16 value stream, f32 x/y (chains)
-            vals = vals.astype(vals_dtype)
-        plan = dataclasses.replace(plan, vals=vals)
-        nB = plan.shape[0]
-        nnzB = (nx * nx + 4 * nx * (nx - 1)) * dof * dof
-        bytes_op = nnzB * jnp.dtype(vals.dtype).itemsize + 2 * nB * 4
+            plan = dataclasses.replace(plan, vals=plan.vals.astype(vals_dtype))
+        bytes_op = nnzB * jnp.dtype(plan.vals.dtype).itemsize + 2 * nB * 4
         xB = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(0), (nB,), jnp.float32))()
         x2 = jax.jit(lambda v: plan.to_resident(v))(xB)
         meas = measure_chained(
-            lambda v: bdia_spmv_pallas_resident(plan, v), x2)
-        return meas, bytes_op, {"matrix": f"fem_dof{dof}_{nx}x{nx}",
-                                "rows": nB, "nnz": nnzB}
+            lambda v: bdia_spmv_pallas_resident(plan, v), x2, **mc_kw)
+        return meas, bytes_op, meta
 
     def bdia_fused(dtype):
         # one-shot natural-layout spmv: in-kernel component relayout
         # (interleaved slab schedule) — what plain `spmv(bsr, x)` pays
-        from cask_tpu.formats.device_gen import fem_bdia_device
         from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
 
-        nx, dof = (512 if on_tpu else 64), 4
-        plan = fem_bdia_device(nx, dof=dof, dtype=dtype)
-        plan = dataclasses.replace(
-            plan, vals=plan.vals * jnp.asarray(1.0 / (8.0 * dof), dtype))
-        nB = plan.shape[0]
-        nnzB = (nx * nx + 4 * nx * (nx - 1)) * dof * dof
+        plan, nB, nnzB, meta = _fem_plan(dtype)
         bytes_op = nnzB * jnp.dtype(dtype).itemsize + 2 * nB * 4
         xB = jax.jit(lambda: jax.random.normal(
             jax.random.PRNGKey(3), (nB,), jnp.float32))()
         meas = measure_chained(
-            lambda v: bdia_spmv_pallas_fused(plan, v), xB)
-        return meas, bytes_op, {"matrix": f"fem_dof{dof}_{nx}x{nx}",
-                                "rows": nB, "nnz": nnzB}
+            lambda v: bdia_spmv_pallas_fused(plan, v), xB, **mc_kw)
+        return meas, bytes_op, meta
 
-    try_variant("bdia_fem_f32", lambda: bdia_fem(jnp.float32))
-    try_variant("bdia_fused_oneshot_f32", lambda: bdia_fused(jnp.float32))
-    try_variant("bdia_fem_bf16v", lambda: bdia_fem(jnp.float32,
-                                                   vals_dtype=jnp.bfloat16))
-    try_variant("pallas_il_stream_f32", lambda: pallas_il_stream(jnp.float32))
-    try_variant("pallas_interleaved_f32", lambda: pallas_interleaved(jnp.float32))
-    try_variant("pallas_il_stream_bf16", lambda: pallas_il_stream(jnp.bfloat16))
-    try_variant("pallas_interleaved_bf16", lambda: pallas_interleaved(jnp.bfloat16))
-    try_variant("pallas_layout_f32", lambda: pallas_layout(jnp.float32))
-    try_variant("pallas_layout_bf16", lambda: pallas_layout(jnp.bfloat16))
-    try_variant("dia_xla_f32", lambda: xla_chain(jnp.float32))
+    def run_unstructured():
+        """Real-pattern unstructured SpMV record (VERDICT r3 item 6): a
+        host-packed power-law matrix on the panel one-hot kernel — never
+        allowed to fail (or delay) the structured headline."""
+        unstructured.pop("pending", None)
+        if remaining() < (5.0 if smoke else 60.0):
+            state["truncated"] = True
+            skipped.append("unstructured_poh")
+            emit()
+            return
+        try:
+            if not (on_tpu or smoke):
+                raise RuntimeError("interpret-mode POH too slow for CPU bench")
+            import numpy as np
+
+            from cask_tpu.formats.generate import power_law
+            from cask_tpu.ops.pallas.poh_kernels import poh_plan
+
+            n_un = 2048 if smoke else 50_000
+            ts_un = 2048 if smoke else 8192
+            a_un = power_law(n_un, avg_degree=12, dtype=np.float32, seed=3)
+            dp = poh_plan(a_un, tile_slots=ts_un).device_put()
+            slots = dp.vals.size
+            xp0 = jax.jit(lambda n=dp.shape[1]: jax.random.normal(
+                jax.random.PRNGKey(7), (n,), jnp.float32))()
+
+            def step(v):
+                # max-normalized chain: power-law spectra aren't scaled,
+                # so bare composition would overflow (tuner discipline)
+                y = dp.spmv(v, precision="split")
+                s = jnp.max(jnp.abs(y)) + jnp.asarray(1e-30, y.dtype)
+                return (y / s).astype(v.dtype)
+
+            mp = measure_chained(
+                step, xp0, **(mc_kw or dict(k1=5, k2=60, points=3, repeats=1)))
+            unstructured.update({
+                "kernel": f"poh_split_T{ts_un}",
+                "matrix": f"power_law_{n_un}_d12",
+                "nnz": int(a_un.nnz),
+                "slots": int(slots),
+                "seconds_per_op": mp.seconds_per_iter,
+                "gnnz_per_s": round(a_un.nnz / mp.seconds_per_iter / 1e9, 3),
+                "gslots_per_s": round(slots / mp.seconds_per_iter / 1e9, 3),
+                "reliable": mp.reliable,
+            })
+        except Exception as e:  # noqa: BLE001
+            print(f"# unstructured bench skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        emit()
+
+    # value-ordered (r1–r3 measured standings); first is budget-exempt so
+    # a headline record always exists
+    run_variant("bdia_fused_oneshot_f32", lambda: bdia_fused(jnp.float32),
+                3, exempt=True)
+    run_variant("bdia_fem_f32", lambda: bdia_fem(jnp.float32), 3)
+    run_variant("pallas_il_stream_f32", lambda: pallas_il_stream(jnp.float32), 3)
+    run_unstructured()
+    run_variant("pallas_interleaved_f32", lambda: pallas_interleaved(jnp.float32), 2)
+    run_variant("bdia_fem_bf16v",
+                lambda: bdia_fem(jnp.float32, vals_dtype=jnp.bfloat16), 2)
+    run_variant("pallas_interleaved_bf16", lambda: pallas_interleaved(jnp.bfloat16), 2)
+    run_variant("pallas_layout_f32", lambda: pallas_layout(jnp.float32), 2)
+    run_variant("pallas_il_stream_bf16", lambda: pallas_il_stream(jnp.bfloat16), 2)
+    run_variant("pallas_layout_bf16", lambda: pallas_layout(jnp.bfloat16), 2)
+    run_variant("dia_xla_f32", lambda: xla_chain(jnp.float32), 2)
 
     if not results:
-        print(json.dumps({"metric": "spmv_roofline_frac", "value": 0.0,
-                          "unit": "fraction", "vs_baseline": 0.0,
-                          "error": "all variants failed"}))
-        return
-
-    # secondary record: unstructured SpMV on the panel one-hot kernel
-    # (never allowed to fail the headline)
-    unstructured = None
-    try:
-        if not on_tpu:
-            raise RuntimeError("interpret-mode POH too slow for CPU bench")
-        from cask_tpu.ops.pallas.poh_kernels import poh_synth_device
-
-        dp = poh_synth_device(n_panels=25, tile_slots=8192, tiles_per_panel=15)
-        slots = dp.ntiles * 8192
-        xp0 = jax.jit(lambda n=dp.shape[1]: jax.random.normal(
-            jax.random.PRNGKey(7), (n,), jnp.float32))()
-        mp = measure_chained(lambda v: dp.spmv(v, precision="split"), xp0,
-                             k1=5, k2=60, points=3, repeats=1)
-        unstructured = {
-            "kernel": "poh_split_T8192",
-            "slots": slots,
-            "seconds_per_op": mp.seconds_per_iter,
-            "gnnz_per_s": round(slots / mp.seconds_per_iter / 1e9, 3),
-            "reliable": mp.reliable,
-        }
-    except Exception as e:  # noqa: BLE001
-        print(f"# unstructured bench skipped: {type(e).__name__}: {e}",
-              file=sys.stderr)
-
-    fracs = {k: v["bytes"] / v["s"] / HBM_BW for k, v in results.items()}
-    # headline pool: f32-value variants only (bf16 value streams are a
-    # different accuracy class AND the relay's impossible-reading
-    # artifacts hit un-normalized bf16 chains hardest — probe_bdia_bf16
-    # read 2.6x roofline once); bf16 numbers stay in the detail record.
-    f32pool = {k: f for k, f in fracs.items() if "bf16" not in k}
-    # a fraction > 1 is physically impossible — noise-corrupted timing;
-    # prefer reliable+plausible > plausible > anything
-    tier1 = [k for k in f32pool if results[k]["reliable"] and fracs[k] <= 1.0]
-    tier2 = [k for k in f32pool if fracs[k] <= 1.0]
-    pool = tier1 or tier2 or list(f32pool) or list(fracs)
-    best = max(pool, key=fracs.get)
-    frac = fracs[best]
-    secs = results[best]["s"]
-    meta = results[best]["meta"]
-    record = {
-        "metric": "spmv_roofline_frac",
-        "value": round(frac, 4),
-        "unit": "fraction_of_819GBs_HBM_roofline",
-        "vs_baseline": round(frac / 0.80, 4),
-        "detail": {
-            "variant": best,
-            "matrix": meta["matrix"],
-            "rows": meta["rows"],
-            "nnz": meta["nnz"],
-            "bytes_per_op": results[best]["bytes"],
-            "seconds_per_op": secs,
-            "gnnz_per_s": round(meta["nnz"] / secs / 1e9, 3),
-            "gflops": round(2 * meta["nnz"] / secs / 1e9, 2),
-            "achieved_GBs": round(frac * HBM_BW / 1e9, 2),
-            "backend": ("tpu" if on_tpu else "cpu"),
-            "on_tpu": on_tpu,
-            "reliable": results[best]["reliable"],
-            # per-variant records each carry their OWN matrix: the bench
-            # mixes stencil5 (dia variants) and fem_dof4 (bdia variants)
-            # matrices, and cross-matrix fraction comparisons are
-            # meaningless without the tag (VERDICT r2 weak-4)
-            "all_variants": {
-                k: {"us": round(v["s"] * 1e6, 2),
-                    "frac": round(fracs[k], 4),
-                    "matrix": v["meta"]["matrix"],
-                    "reliable": v["reliable"]}
-                for k, v in results.items()
-            },
-            "unstructured": unstructured,
-            "wall_s": round(time.time() - t_start, 1),
-        },
-    }
-    print(json.dumps(record))
+        emit()
 
 
 if __name__ == "__main__":
