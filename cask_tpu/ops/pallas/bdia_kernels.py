@@ -254,6 +254,33 @@ def _bdia_fused_flat_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T,
 _FUSED_FLAT_MAX_VAL_BYTES = 24 * 1024 * 1024
 
 
+def bdia_fused_ok(a: "_bdia.BdiaMatrix", *, slab_rows: int = 128) -> bool:
+    """Can :func:`bdia_spmv_pallas_fused` run on this plan?
+
+    Checks the resident-path preconditions (pair unroll + VMEM x budget,
+    :func:`cask_tpu.ops.bdia.bdia_pallas_ok`) plus the fused kernel's
+    own constraints: the forward halo must fit one de-interleave slab
+    (``hi <= slab_rows·128`` block offsets) and the component-segment
+    scratch must fit VMEM.  Works on metadata-only plans (``vals`` may
+    be a ``ShapeDtypeStruct``) so distribution code can resolve its
+    interior without touching device arrays."""
+    from cask_tpu.ops.bdia import bdia_pallas_ok
+    from cask_tpu.ops.pallas.dia_kernels import _X_VMEM_BUDGET
+
+    if not bdia_pallas_ok(a):
+        return False
+    if slab_rows % _LANE or slab_rows < a.ts:
+        return False
+    if a.hi > slab_rows * _LANE:
+        return False
+    lp128 = -(-a.lo // _LANE)
+    rtx = -(-a.nbc // _LANE)
+    rtx_pad = -(-rtx // slab_rows) * slab_rows
+    seg128 = lp128 + max(a.n_tiles * a.ts, rtx_pad) + a.hi // _LANE + 2
+    db = jnp.dtype(a.vals.dtype).itemsize
+    return a.blocksize[1] * seg128 * _LANE * db <= _X_VMEM_BUDGET
+
+
 def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x, *,
                            merge_tiles: Optional[int] = None,
                            slab_rows: int = 128,
@@ -302,8 +329,9 @@ def bdia_spmv_pallas_fused(a: "_bdia.BdiaMatrix", x, *,
         # the interleaved slab schedule stays exactly one slab ahead of
         # the windows' forward reach; a wider-than-slab hi would need a
         # multi-slab prologue the single-block pipeline can't feed
-        raise ValueError("fused BDIA kernel needs hi <= 16384 block "
-                         "offsets (use the resident path)")
+        raise ValueError(
+            f"fused BDIA kernel needs hi <= {tbx * _LANE} block offsets "
+            f"(slab_rows * 128; got hi={hi} — use the resident path)")
     spt = tbx // ts  # tiles consumed per de-interleave slab
 
     interp = _interpret()

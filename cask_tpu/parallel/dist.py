@@ -228,6 +228,26 @@ def _bdia_shard_matrix(plan: BdiaPartition):
     )
 
 
+def _bdia_shard_meta(plan: BdiaPartition):
+    """Metadata-only shard BdiaMatrix (``vals`` is a ShapeDtypeStruct):
+    lets interior-eligibility predicates run without touching device
+    arrays or tracers."""
+    import numpy as np
+
+    from cask_tpu.ops.bdia import BdiaMatrix
+
+    _, br, T, npairs, TS, L = plan.vals.shape
+    z = np.zeros((0,), np.float32)
+    return BdiaMatrix(
+        vals=jax.ShapeDtypeStruct((br, T, npairs, TS, L), plan.vals.dtype),
+        rem_data=z, rem_row=z, rem_col=z,
+        block_offsets=plan.block_offsets,
+        shape=(plan.mloc, plan.mloc),
+        blocksize=plan.blocksize,
+        ts=plan.ts,
+    )
+
+
 def _bdia_edge_fixups(plan: BdiaPartition, left, right, *, k: int = 0):
     """Component-plane halo corrections (head, tail) as natural-order
     deltas of the first lo_b·br / last hi_b·br scalar rows.
@@ -301,7 +321,17 @@ def _bdia_local(plan: BdiaPartition, x_loc, axis: str, interior: str = "xla",
     # 2. interior on zero-padded local x (structural-zero discipline:
     #    pairs reaching past the shard read pad zeros — no halo dep)
     local = _bdia_shard_matrix(plan)
-    if interior == "pallas":
+    if interior == "fused":
+        # the flagship one-shot kernel directly on the shard's
+        # natural-order x — in-kernel component relayout, zero XLA
+        # wrapper passes (VERDICT r3 item 2: the resident-path wrappers
+        # below cost the 1.47x penalty the fused kernel was built to
+        # kill).  Zero-copy when the shard is slab-aligned
+        # (partition_bdia(align_b=16384)); otherwise one x pad copy.
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
+
+        y = bdia_spmv_pallas_fused(local, x_loc)
+    elif interior == "pallas":
         from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_resident
 
         y = local.from_resident(
@@ -368,7 +398,7 @@ class DistSpmv:
     returned sharded arrays so no host round-trips occur.
     """
 
-    def __init__(self, plan, mesh: Optional[Mesh] = None, *, interior: str = "xla",
+    def __init__(self, plan, mesh: Optional[Mesh] = None, *, interior: str = "auto",
                  overlap: bool = True):
         self.plan = plan
         self.mesh = mesh if mesh is not None else row_mesh(plan.nshards)
@@ -379,6 +409,8 @@ class DistSpmv:
             )
         self._xsharding = NamedSharding(self.mesh, P(AXIS))
         if isinstance(plan, DiaPartition):
+            if interior == "auto":
+                interior = "xla"  # pallas interior is opt-in (8192 align)
             if interior == "pallas" and plan.mloc % 8192:
                 raise ValueError(
                     "interior='pallas' needs partition_dia(..., align=8192)"
@@ -386,6 +418,25 @@ class DistSpmv:
             local = partial(_dia_local, interior=interior, overlap=overlap)
             local_mm = _dia_local_mm
         elif isinstance(plan, BdiaPartition):
+            if interior == "auto":
+                # default the interior to the flagship fused kernel on
+                # TPU when the shard geometry admits it; XLA elsewhere
+                # (CPU interpret-mode Pallas is test-only speed)
+                from cask_tpu.ops.pallas.bdia_kernels import bdia_fused_ok
+                from cask_tpu.utils.platform import on_tpu
+
+                interior = ("fused" if on_tpu()
+                            and bdia_fused_ok(_bdia_shard_meta(plan))
+                            else "xla")
+            if interior == "fused":
+                from cask_tpu.ops.pallas.bdia_kernels import bdia_fused_ok
+
+                if not bdia_fused_ok(_bdia_shard_meta(plan)):
+                    raise ValueError(
+                        "interior='fused' needs the per-shard fused-kernel "
+                        "geometry (bdia_fused_ok on the shard matrix): "
+                        "square blocks, halo within one slab, VMEM-resident "
+                        "component segments")
             local = partial(_bdia_local, interior=interior, overlap=overlap)
             local_mm = _bdia_local_mm
         elif isinstance(plan, PohPartition):
@@ -394,6 +445,7 @@ class DistSpmv:
         else:
             local = _coo_local
             local_mm = _coo_local_mm
+        self.interior = interior  # resolved value ('auto' never survives)
 
         plan_specs = jax.tree.map(lambda _: P(AXIS), plan)
 

@@ -361,13 +361,22 @@ def _bdia_edge_windows(vals: np.ndarray, kept: np.ndarray, bc: int,
 
 def partition_bdia(a, nshards: int, blocksize: Optional[Tuple[int, int]] = None,
                    *, min_density: float = 0.10,
-                   max_block_diags: int = 64) -> BdiaPartition:
+                   max_block_diags: int = 64,
+                   align_b: int = 1) -> BdiaPartition:
     """Block-row-partition a BSR/CSR matrix into per-shard BDIA packs.
 
     Square blocks only (x is partitioned like the rows).  Kept block
     diagonals are chosen *globally* (one shape-uniform shard program);
     everything else — sparse block diagonals, blocks beyond the
     single-hop halo — spills to the scalar COO remainder.
+
+    ``align_b``: round the per-shard *block*-row count up to this
+    multiple (the BDIA mirror of ``partition_dia(align=8192)``).  The
+    fused Pallas interior (``DistSpmv(..., interior='fused')``) accepts
+    any shard size, but enters zero-copy — the shard's natural-order x
+    reshapes straight into the kernel with no pad pass — only when
+    ``nbloc`` is a multiple of its slab span, 128·slab_rows = **16384**
+    block rows; pass ``align_b=16384`` on configs-5-scale jobs.
     """
     from cask_tpu.formats.matrix import BSR
     from cask_tpu.ops.bdia import _pick_ts
@@ -388,7 +397,7 @@ def partition_bdia(a, nshards: int, blocksize: Optional[Tuple[int, int]] = None,
         raise ValueError("partition_bdia requires a square matrix")
     P = nshards
     nbr = a.n_block_rows
-    nbloc = _ceil_div(nbr, P)
+    nbloc = _ceil_div(_ceil_div(nbr, P), align_b) * align_b
     mloc = nbloc * br
 
     indptr = np.asarray(a.indptr, dtype=np.int64)
@@ -497,7 +506,8 @@ def _fem_offset_mask(g, off: int, ny: int, nbr: int):
 
 
 def fem_bdia_partition(nx: int, ny: Optional[int] = None, *, dof: int = 4,
-                       nshards: int, dtype=np.float32) -> BdiaPartition:
+                       nshards: int, dtype=np.float32,
+                       align_b: int = 1) -> BdiaPartition:
     """Formulaic BdiaPartition of the dof-block 5-point FEM matrix — no
     CSR/BSR materialization (the BDIA analog of
     :func:`stencil_dia_partition`; config-5 CI and the scaling job need
@@ -514,7 +524,9 @@ def fem_bdia_partition(nx: int, ny: Optional[int] = None, *, dof: int = 4,
     ny = ny or nx
     nbr = nx * ny
     P = nshards
-    nbloc = _ceil_div(nbr, P)
+    # align_b=16384 makes the fused Pallas interior zero-copy (see
+    # partition_bdia's contract note)
+    nbloc = _ceil_div(_ceil_div(nbr, P), align_b) * align_b
     offsets = tuple(sorted({-ny, -1, 0, 1, ny}))
     kept = np.asarray(offsets, dtype=np.int64)
     if np.abs(kept).max() > nbloc:

@@ -98,6 +98,7 @@ def main(argv=None):
             k1=5, k2=40, points=3, repeats=2)
         ns_per_row = meas.seconds_per_iter / n * 1e9
         rec = {"op": "dist_spmv_weak_scaling", "kind": args.kind, "nshards": p, "rows": n,
+               "interior": op.interior,
                "seconds_per_op": meas.seconds_per_iter,
                "ns_per_row": round(ns_per_row, 4),
                "reliable": meas.reliable,
@@ -125,7 +126,8 @@ def main(argv=None):
             k1=5, k2=40, points=3, repeats=2)
         times[name] = meas.seconds_per_iter
         emit({"op": "dist_spmv_overlap_ab", "kind": args.kind, "variant": name, "nshards": p,
-              "rows": n, "seconds_per_op": meas.seconds_per_iter,
+              "rows": n, "interior": op.interior,
+              "seconds_per_op": meas.seconds_per_iter,
               "reliable": meas.reliable})
     hidden = times["serialized"] - times["overlapped"]
     emit({"op": "dist_spmv_overlap_ab", "variant": "hidden_comm_seconds",

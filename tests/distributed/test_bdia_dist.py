@@ -109,6 +109,64 @@ class TestBdiaPallasInterior:
         np.testing.assert_allclose(np.asarray(y_p), to_scipy(a) @ x,
                                    rtol=1e-10, atol=1e-10)
 
+    def test_fused_interior_matches_xla(self):
+        # VERDICT r3 item 2: the flagship fused kernel as the shard
+        # interior, directly on natural-order shard x (no relayout
+        # wrappers).  Interpret-mode f64 is exact — 1e-12 parity.
+        a = _fem(24, seed=16)
+        p = 4
+        plan = partition_bdia(a, p)
+        x = np.random.default_rng(16).standard_normal(a.shape[1])
+        y_x = DistSpmv(plan, row_mesh(p), interior="xla")(x)
+        y_f = DistSpmv(plan, row_mesh(p), interior="fused")(x)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_x),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(y_f), to_scipy(a) @ x,
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_fused_interior_remainder_and_uneven(self):
+        # spilled blocks + a last shard shorter than nbloc both ride the
+        # fused interior unchanged (remainder is collective-side; pads
+        # are structural zeros)
+        import scipy.sparse as sp
+
+        a = _fem(15, seed=17)  # 225 block rows: uneven at p=4
+        s = to_scipy(a).tolil()
+        rng = np.random.default_rng(17)
+        n = s.shape[0]
+        for _ in range(8):
+            bi = int(rng.integers(0, n // 4 - 1))
+            bj = int(rng.integers(0, n // 4 - 1))
+            s[bi * 4 : bi * 4 + 4, bj * 4 : bj * 4 + 4] = rng.standard_normal((4, 4))
+        from cask_tpu.formats.convert import csr_to_bsr
+
+        bsr = csr_to_bsr(from_scipy(s.tocsr()), (4, 4))
+        plan = partition_bdia(bsr, 4)
+        assert plan.remainder is not None
+        op = DistSpmv(plan, row_mesh(4), interior="fused")
+        x = rng.standard_normal(n)
+        np.testing.assert_allclose(np.asarray(op(x)), s.tocsr() @ x,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_fused_interior_align_contract(self):
+        # align_b rounds the shard up (zero-copy contract surface);
+        # parity must hold through the extra pad rows
+        a = _fem(20, seed=18)  # 400 block rows
+        plan = partition_bdia(a, 4, align_b=128)
+        assert plan.nbloc % 128 == 0
+        op = DistSpmv(plan, row_mesh(4), interior="fused")
+        x = np.random.default_rng(18).standard_normal(a.shape[1])
+        np.testing.assert_allclose(np.asarray(op(x)), to_scipy(a) @ x,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_auto_interior_resolves_off_tpu(self):
+        # CPU harness: 'auto' must settle on the XLA interior (fused is
+        # a TPU default), and the resolved choice is introspectable
+        a = _fem(16, seed=19)
+        plan = partition_bdia(a, 4)
+        op = DistSpmv(plan, row_mesh(4))
+        assert op.interior == "xla"
+
     def test_overlap_ab_matches(self):
         a = _fem(20, seed=7)
         p = 4
