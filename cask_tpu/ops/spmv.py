@@ -134,10 +134,52 @@ def transposed(a):
 # public op
 # ---------------------------------------------------------------------------
 
+_PLAN_MISS = object()
+# test hook: force the BSR→BDIA auto route off-TPU (the plan then runs
+# its XLA formulation, so dispatch equality is checkable bit-exact)
+_AUTO_BSR_PLAN_FORCE = False
+
+
+def _bdia_auto_plan(a: BSR):
+    """Instance-memoized BDIA plan for the TPU BSR fast path.
+
+    Cache policy: the plan is built ONCE per BSR instance (host-side
+    numpy planning) and memoized on the object, so repeat ``spmv(a, x)``
+    calls — and every trace of a jitted caller holding the same matrix —
+    reuse it without re-planning.  ``None`` is memoized too: a matrix
+    whose block diagonals don't qualify (Pallas geometry, or >10 % of
+    entries spilling to the scalar remainder) never re-pays the
+    planning probe.  Never caches under a trace (host planning needs
+    concrete arrays; a tracer result would poison later calls).
+    """
+    cached = getattr(a, "_bdia_auto_plan", _PLAN_MISS)
+    if cached is not _PLAN_MISS:
+        return cached
+    if isinstance(a.data, jax.core.Tracer):
+        return None  # can't host-plan under a trace; don't memoize
+    from cask_tpu.ops.bdia import bdia_pallas_ok, bdia_plan
+
+    plan = None
+    try:
+        p = bdia_plan(a, a.blocksize)
+        if bdia_pallas_ok(p) and \
+                p.rem_data.shape[0] <= 0.1 * max(a.nnz, 1):
+            plan = p
+    except Exception:  # planning failure = not profitable, use XLA
+        plan = None
+    object.__setattr__(a, "_bdia_auto_plan", plan)
+    return plan
+
 
 def spmv(a, x, *, transpose: bool = False, method: str = "auto",
          accum_dtype: Optional[object] = None):
-    """``y = a @ x`` (or ``aᵀ @ x``).  See module docstring for methods."""
+    """``y = a @ x`` (or ``aᵀ @ x``).  See module docstring for methods.
+
+    On TPU, ``method='auto'`` on a :class:`BSR` matrix routes through a
+    cached BDIA plan + the fused one-shot Pallas kernel when the block
+    structure qualifies (see :func:`_bdia_auto_plan` for the cache
+    policy) — the obvious API call on the obvious input is the tuned
+    path (BASELINE north star), not the gather fallback."""
     x = jnp.asarray(x)
     if x.ndim != 1:
         raise ValueError(f"x must be 1-D, got shape {x.shape}")
@@ -165,6 +207,13 @@ def spmv(a, x, *, transpose: bool = False, method: str = "auto",
     if isinstance(a, COO):
         return _spmv_xla_coo(a, x, transpose, accum_dtype)
     if isinstance(a, BSR):
+        if method == "auto" and not transpose and accum_dtype is None:
+            from cask_tpu.utils.platform import on_tpu
+
+            if on_tpu() or _AUTO_BSR_PLAN_FORCE:
+                plan = _bdia_auto_plan(a)
+                if plan is not None:
+                    return plan.spmv(x)
         return _spmv_xla_bsr(a, x, transpose, accum_dtype)
     from cask_tpu.ops.bdia import BdiaMatrix
     from cask_tpu.ops.dia import DiaMatrix, spmv_dia

@@ -213,3 +213,67 @@ class TestTransposePlans:
         x = np.random.default_rng(5).standard_normal(a.shape[0])
         np.testing.assert_allclose(
             np.asarray(pt.spmv(jnp.asarray(x))), to_scipy(a).T @ x, rtol=1e-11)
+
+
+class TestBsrAutoPlanRoute:
+    """VERDICT r3 item 5: `spmv(bsr, x)` must be the tuned path by
+    default on TPU — a cached BDIA plan behind the obvious API call."""
+
+    def test_auto_route_bit_exact_and_cached(self, monkeypatch):
+        import importlib
+
+        spmv_mod = importlib.import_module("cask_tpu.ops.spmv")
+        from cask_tpu.ops.bdia import bdia_plan
+
+        a = fem_blocks(12, dof=4)
+        b = csr_to_bsr(a, (4, 4))
+        x = jnp.asarray(np.random.default_rng(6).standard_normal(a.shape[1]))
+        # force the TPU-only gate on (off-TPU the plan runs its XLA
+        # formulation, so the dispatch result is bit-comparable)
+        monkeypatch.setattr(spmv_mod, "_AUTO_BSR_PLAN_FORCE", True)
+        y_auto = np.asarray(spmv(b, x))
+        plan = getattr(b, "_bdia_auto_plan")
+        assert plan is not None, "qualifying FEM blocks must take the plan route"
+        y_plan = np.asarray(plan.spmv(x))
+        np.testing.assert_array_equal(y_auto, y_plan)  # bit-exact
+        # independent reference plan agrees to fp
+        y_ref = np.asarray(bdia_plan(b, (4, 4)).spmv(x))
+        np.testing.assert_allclose(y_auto, y_ref, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(y_auto, to_scipy(a) @ np.asarray(x),
+                                   rtol=1e-10, atol=1e-10)
+        # plan is memoized on the instance: second dispatch re-uses it
+        before = b._bdia_auto_plan
+        spmv(b, x)
+        assert b._bdia_auto_plan is before
+
+    def test_auto_route_declines_unstructured(self, monkeypatch):
+        import importlib
+
+        spmv_mod = importlib.import_module("cask_tpu.ops.spmv")
+        monkeypatch.setattr(spmv_mod, "_AUTO_BSR_PLAN_FORCE", True)
+        a = power_law(400, avg_degree=5, seed=7)
+        b = csr_to_bsr(a, (4, 4))
+        x = jnp.asarray(np.random.default_rng(7).standard_normal(b.shape[1]))
+        y = np.asarray(spmv(b, x))
+        # unstructured blocks must memoize a None plan and use XLA
+        assert getattr(b, "_bdia_auto_plan", "missing") is None
+        np.testing.assert_allclose(y, to_scipy(a) @ np.asarray(x),
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_auto_route_never_plans_under_trace(self, monkeypatch):
+        import importlib
+
+        spmv_mod = importlib.import_module("cask_tpu.ops.spmv")
+        monkeypatch.setattr(spmv_mod, "_AUTO_BSR_PLAN_FORCE", True)
+        a = fem_blocks(8, dof=2)
+        b = csr_to_bsr(a, (2, 2))
+        x = np.random.default_rng(8).standard_normal(b.shape[1])
+
+        @jax.jit
+        def f(bb, xx):
+            return spmv(bb, xx)
+
+        y = np.asarray(f(b, jnp.asarray(x)))
+        np.testing.assert_allclose(y, to_scipy(a) @ x, rtol=1e-10, atol=1e-10)
+        # tracer leaves must not be memoized
+        assert getattr(b, "_bdia_auto_plan", None) is None
