@@ -1271,11 +1271,18 @@ def _spmm_ring_mxu_kernel(offsets, near, bw, tmx, tm, kp, p0, T, TT, pret,
         prev_i = jax.lax.rem(tt + jnp.int32(-1), jnp.int32(4))
         next_i = jax.lax.rem(tt + jnp.int32(1), jnp.int32(4))
         cur_i = jax.lax.rem(tt, jnp.int32(4))
-        W = jnp.concatenate([
-            banks[pl.ds(prev_i, 1), pl.ds(tm - bw, bw), :][0],
-            banks[pl.ds(cur_i, 1), :, :][0],
-            banks[pl.ds(next_i, 1), pl.ds(0, wpad - tmx - bw), :][0],
-        ], axis=0)  # (tm + wpad - tmx, kp)
+        # skip statically-empty pieces (bw == 0 with a 128-multiple tmx
+        # makes both edge slices zero-length; Mosaic may reject a
+        # zero-length pl.ds on an otherwise-valid config — ADVICE r3)
+        w_parts = []
+        if bw:
+            w_parts.append(banks[pl.ds(prev_i, 1), pl.ds(tm - bw, bw), :][0])
+        w_parts.append(banks[pl.ds(cur_i, 1), :, :][0])
+        if wpad - tmx - bw > 0:
+            w_parts.append(
+                banks[pl.ds(next_i, 1), pl.ds(0, wpad - tmx - bw), :][0])
+        W = (jnp.concatenate(w_parts, axis=0) if len(w_parts) > 1
+             else w_parts[0])  # (tm + wpad - tmx, kp)
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (tmx, wpad), 0)
         iota_j = jax.lax.broadcasted_iota(jnp.int32, (tmx, wpad), 1)
         y_subs = []

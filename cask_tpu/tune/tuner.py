@@ -290,13 +290,21 @@ class TunedSpmv:
 
 def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
          time_budget: int = 3, include_pallas: Optional[bool] = None,
-         force: bool = False) -> TunedSpmv:
+         force: bool = False,
+         wall_budget_s: Optional[float] = None) -> TunedSpmv:
     """Pick the fastest kernel variant for matrix ``a`` (SpMV, or SpMM
     with ``k`` dense columns); cache the winner by sparsity signature.
 
     ``time_budget``: how many top analytic candidates to actually time.
     ``include_pallas`` defaults to "only on TPU": interpret-mode timings
     on CPU are meaningless for kernel choice and painfully slow.
+    ``wall_budget_s``: stop timing further candidates once this much
+    wall-clock has elapsed (each fresh Pallas candidate can cost 5–10
+    minutes of relay compile on the proxied dev TPU — the plausibility
+    gate bounded mis-*picks*, this bounds runaway *time*).  Defaults to
+    900 s on TPU, unlimited elsewhere; at least one candidate is always
+    timed, and a truncated run records ``"truncated": true`` in its
+    cache entry.
     """
     if include_pallas is None:
         from cask_tpu.utils.platform import on_tpu
@@ -376,21 +384,42 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
     # each variant a hard lower bound; a reading below half its floor is
     # a relay artifact and is discarded, and a reliable time may only
     # outrank an unreliable-but-plausible one within a bounded factor.
+    from cask_tpu.utils.platform import hbm_bandwidth
     from cask_tpu.utils.platform import on_tpu as _on_tpu_fn
 
     _gate = _on_tpu_fn()
-    _BW = 819e9  # v5e HBM; floors only gate on real TPU
+    _BW, _bw_known = hbm_bandwidth() if _gate else (819e9, False)
+    # A reading below this fraction of the analytic floor is treated as
+    # a relay artifact.  When the device generation is unidentified the
+    # stand-in bandwidth may be badly low (a v5p reads ~3.4x v5e), so
+    # loosen the cut rather than discard genuine readings (ADVICE r3).
+    _floor_frac = 0.5 if _bw_known else 0.125
 
     def _floor(v: Variant) -> float:
         return (v.est_bytes / _BW) if _gate else 0.0
 
+    if wall_budget_s is None and _gate:
+        wall_budget_s = 900.0
+    import time as _time_mod
+
+    t_tune0 = _time_mod.time()
+    truncated = False
+
     results_t = []  # (var, dev, fn, info, meas)
     timings = {}  # every variant's measurement persists in the cache
     for var in candidates:
+        if (wall_budget_s is not None and results_t
+                and _time_mod.time() - t_tune0 > wall_budget_s):
+            # runaway-time cap: keep what's measured, skip the rest
+            truncated = True
+            log.warning("tune %s: wall budget %.0fs exceeded; skipping %s "
+                        "and later candidates", cache_key, wall_budget_s,
+                        var.name)
+            break
         try:
             dev, fn, info = var.build_full(a, k)
             meas = _time(fn)
-            plausible = meas.seconds_per_iter >= 0.5 * _floor(var)
+            plausible = meas.seconds_per_iter >= _floor_frac * _floor(var)
             log.info("tune %s: variant=%s t=%.3g s/op reliable=%s plausible=%s",
                      cache_key, var.name, meas.seconds_per_iter,
                      meas.reliable, plausible)
@@ -408,9 +437,9 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
         return r[4].seconds_per_iter
 
     tier0 = [r for r in results_t
-             if r[4].reliable and _secs(r) >= 0.5 * _floor(r[0])]
+             if r[4].reliable and _secs(r) >= _floor_frac * _floor(r[0])]
     tier1 = [r for r in results_t
-             if not r[4].reliable and _secs(r) >= 0.5 * _floor(r[0])]
+             if not r[4].reliable and _secs(r) >= _floor_frac * _floor(r[0])]
     best = min(tier0, key=_secs) if tier0 else None
     if tier1:
         u = min(tier1, key=_secs)
@@ -423,7 +452,7 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
             def _better(m_new, m_old, v=var_u):
                 if not np.isfinite(m_new.checksum):
                     return False
-                if m_new.seconds_per_iter < 0.5 * _floor(v):
+                if m_new.seconds_per_iter < _floor_frac * _floor(v):
                     return False  # still implausible
                 if bool(m_new.reliable) != bool(m_old.reliable):
                     return bool(m_new.reliable)
@@ -435,10 +464,25 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
                     meas_u = m2
                 if m2.reliable:
                     break
-            timings[var_u.name]["seconds_per_op"] = meas_u.seconds_per_iter
-            timings[var_u.name]["reliable"] = bool(meas_u.reliable)
+            # recompute the gate diagnostics from the ADOPTED reading so
+            # the persisted cache entry can't contradict itself (ADVICE
+            # r3: stale 'plausible' after a re-measure)
+            plaus_u = meas_u.seconds_per_iter >= _floor_frac * _floor(var_u)
+            timings[var_u.name].update(
+                seconds_per_op=meas_u.seconds_per_iter,
+                reliable=bool(meas_u.reliable),
+                plausible=bool(plaus_u),
+                remeasured=True,
+            )
             u = (var_u, dev_u, fn_u, info_u, meas_u)
-            if best is None or _secs(u) * 8.0 < _secs(best):
+            if meas_u.reliable and plaus_u:
+                # the re-measure came back clean: promote into tier0 and
+                # compare by time directly — requiring the 8x factor of
+                # a now-reliable reading would discard a genuine 3x win
+                # (ADVICE r3)
+                if best is None or _secs(u) < _secs(best):
+                    best = u
+            elif best is None or _secs(u) * 8.0 < _secs(best):
                 best = u
     if best is None and results_t:  # nothing plausible: least-bad reading
         best = min(results_t, key=lambda r: (not r[4].reliable, _secs(r)))
@@ -452,6 +496,7 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
     secs = meas_b.seconds_per_iter if meas_b is not None else float("nan")
     cache.put(cache_key, {"variant": var.name, "seconds_per_op": secs,
                           "shape": list(a.shape), "nnz": int(a.nnz),
+                          "truncated": truncated,
                           "timings": timings})
     return TunedSpmv(variant=var.name, matrix=dev, _fn=fn,
                      signature_key=cache_key, seconds_per_op=secs,

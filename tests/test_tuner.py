@@ -369,3 +369,71 @@ class TestPlausibilityGate:
         t = tune(a, cache=TunerCache(path=str(tmp_path / "c.json")),
                  include_pallas=False, time_budget=3)
         assert abs(t.seconds_per_op - 6e-5) < 1e-9, t.seconds_per_op
+
+
+class TestTuneWallBudget:
+    def test_wall_budget_truncates_and_records(self, tmp_tuner_cache,
+                                               monkeypatch):
+        # scripted slow measurements: every timing call burns 0.25 s of
+        # real wall clock, the budget allows ~one candidate — the tuner
+        # must time at least one, skip the rest, and stamp the cache
+        # entry truncated (VERDICT r3 item 8)
+        import importlib
+        import time as time_mod
+
+        timing_mod = importlib.import_module("cask_tpu.tune.timing")
+        from cask_tpu.tune.timing import Measurement
+
+        calls = {"n": 0}
+
+        def slow_measure(step, x0, **kw):
+            import jax
+            import jax.numpy as jnp
+
+            calls["n"] += 1
+            time_mod.sleep(0.25)
+            y = step(jnp.asarray(x0))
+            jax.block_until_ready(y)
+            return Measurement(seconds_per_iter=1e-3 * calls["n"],
+                               reliable=True, checksum=1.0)
+
+        monkeypatch.setattr(timing_mod, "measure", slow_measure)
+        monkeypatch.setattr(timing_mod, "measure_chained", slow_measure)
+        tuner_mod = importlib.import_module("cask_tpu.tune.tuner")
+        monkeypatch.setattr(tuner_mod, "measure", slow_measure)
+
+        a = fem_blocks(8, dof=4)
+        t = tune(a, cache=tmp_tuner_cache, time_budget=4,
+                 include_pallas=False, wall_budget_s=0.1)
+        entry = tmp_tuner_cache.get(t.signature_key)
+        assert entry["truncated"] is True
+        assert calls["n"] == 1  # one timed, rest skipped
+        assert len(entry["timings"]) == 1
+
+    def test_no_budget_not_truncated(self, tmp_tuner_cache):
+        a = stencil_2d(10)
+        t = tune(a, cache=tmp_tuner_cache, time_budget=2)
+        entry = tmp_tuner_cache.get(t.signature_key)
+        assert entry["truncated"] is False
+
+
+class TestHbmBandwidth:
+    def test_known_generation_lookup(self):
+        from cask_tpu.utils.platform import _HBM_BW_SPEC
+
+        match = sorted(_HBM_BW_SPEC, key=len, reverse=True)
+        pick = lambda kind: next(
+            (_HBM_BW_SPEC[k] for k in match if k in kind.lower()), None)
+        assert pick("TPU v5 lite") == 8.19e11
+        assert pick("TPU v5p") == 2.765e12
+        assert pick("TPU v5") == 2.765e12
+        assert pick("TPU v4") == 1.228e12
+        assert pick("TPU v6 lite") == 1.64e12
+        assert pick("TPU7x") is None  # unknown → caller loosens gates
+
+    def test_helper_runs(self):
+        from cask_tpu.utils.platform import hbm_bandwidth
+
+        bw, known = hbm_bandwidth()
+        assert bw > 1e11
+        assert isinstance(known, bool)
