@@ -102,21 +102,35 @@ class AmgLevel:
     dinv: jax.Array  # 1/diag(a) for Jacobi smoothing (device)
 
 
-def _apply_op(op, x):
+def _apply_op(op, x, precision: str = "split"):
     if isinstance(op, jax.Array):
         return op @ x
+    from cask_tpu.ops.pallas.poh_kernels import PohMatrix
+
+    if isinstance(op, PohMatrix):
+        return op.spmv(x, precision=precision)
     return spmv(op, x)
 
 
 @dataclasses.dataclass(frozen=True)
 class AmgPrecond:
-    """Callable ``r → V-cycle(r) ≈ A⁻¹r``; pass as ``M=`` to the solvers."""
+    """Callable ``r → V-cycle(r) ≈ A⁻¹r``; pass as ``M=`` to the solvers.
+
+    ``poh_precision``: MXU rounding mode for every POH-routed operator
+    in the cycle (level operators and P/R packs).  ``'fast'`` runs the
+    one-hot matmuls in a single default-precision pass — bf16-rounded
+    products — which is admissible for a *preconditioner* (M need only
+    stay a fixed, roughly-SPD linear operator; CG sees the same M every
+    iteration) and roughly halves the POH share of the cycle.  Keep
+    ``'split'`` (exact f32) when using the cycle as a standalone solver.
+    """
 
     levels: List[AmgLevel]
     coarse_inv: jax.Array  # dense inverse of the coarsest operator
     omega: float
     nu_pre: int
     nu_post: int
+    poh_precision: str = "split"
 
     @property
     def level_sizes(self) -> List[int]:
@@ -127,14 +141,15 @@ class AmgPrecond:
             return self.coarse_inv @ b
         level = self.levels[lvl]
         w = self.omega
+        prec = self.poh_precision
         x = w * level.dinv * b  # first sweep from x = 0
         for _ in range(self.nu_pre - 1):
-            x = x + w * level.dinv * (b - _apply_op(level.a, x))
-        resid = b - _apply_op(level.a, x)
-        xc = self._cycle(_apply_op(level.r, resid), lvl + 1)
-        x = x + _apply_op(level.p, xc)
+            x = x + w * level.dinv * (b - _apply_op(level.a, x, prec))
+        resid = b - _apply_op(level.a, x, prec)
+        xc = self._cycle(_apply_op(level.r, resid, prec), lvl + 1)
+        x = x + _apply_op(level.p, xc, prec)
         for _ in range(self.nu_post):
-            x = x + w * level.dinv * (b - _apply_op(level.a, x))
+            x = x + w * level.dinv * (b - _apply_op(level.a, x, prec))
         return x
 
     def apply(self, r):
@@ -148,7 +163,8 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
                              nu_pre: int = 1, nu_post: int = 1, smooth: bool = True,
                              max_levels: int = 12, coarse_size: int = 256,
                              dtype=None, route: str = "auto",
-                             dense_cutoff: int = 2048) -> AmgPrecond:
+                             dense_cutoff: int = 2048,
+                             poh_precision: str = "split") -> AmgPrecond:
     """Build a smoothed-aggregation AMG hierarchy for SPD ``a``.
 
     ``theta`` is the strength threshold (smaller ⇒ coarser aggregates);
@@ -188,7 +204,10 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
                 return dia_plan(csr).device_put()
             from cask_tpu.ops.pallas.poh_kernels import poh_plan
 
-            return poh_plan(csr).device_put()
+            # T=8192 tiles: the measured-best unstructured config on
+            # hardware (probe_tune2/bench); P/R packs are the V-cycle's
+            # dominant term (probe_amg3), so their packing matters
+            return poh_plan(csr, tile_slots=8192).device_put()
         m = from_scipy(mat_sp, format="csr")
         if dtype is not None:
             m = m.astype(dtype)
@@ -228,4 +247,5 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
     if dtype is not None:
         coarse = coarse.astype(np.dtype(dtype))
     return AmgPrecond(levels=levels, coarse_inv=jnp.asarray(coarse),
-                      omega=omega, nu_pre=nu_pre, nu_post=nu_post)
+                      omega=omega, nu_pre=nu_pre, nu_post=nu_post,
+                      poh_precision=poh_precision)
