@@ -36,7 +36,7 @@ import time
 
 def main():
     t_start = time.time()
-    budget_s = float(os.environ.get("CASK_BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("CASK_BENCH_BUDGET_S", "600"))
     smoke = bool(os.environ.get("CASK_BENCH_SMOKE"))
 
     import jax
@@ -156,9 +156,18 @@ def main():
         }
         print(json.dumps(record), flush=True)
 
-    def run_variant(name, fn, attempts, exempt=False):
-        """Budget-gated measurement of one variant; emits after finishing."""
-        need = max(60.0, state.get("last_cost", 60.0) * 0.8)
+    def run_variant(name, fn, attempts, exempt=False, est_cost=70.0):
+        """Budget-gated measurement of one variant; emits after finishing.
+
+        ``est_cost``: expected wall seconds incl. a cold relay compile —
+        measured r4: Pallas remote compiles do NOT persist across
+        processes (the jax compilation cache holds only the host-side
+        ladder wrappers), so every variant pays its Mosaic compile each
+        run; the fused kernel's two-phase grid is the big one (~300 s).
+        A skipped variant doesn't end the loop — later cheaper variants
+        still get their chance.
+        """
+        need = est_cost
         if not exempt and remaining() < (5.0 if smoke else need):
             state["truncated"] = True
             skipped.append(name)
@@ -172,7 +181,7 @@ def main():
 
             best = None
             for att in range(attempts):
-                if att > 0 and not exempt and remaining() <= 0:
+                if att > 0 and remaining() <= 0:
                     state["truncated"] = True
                     break
                 out = fn()
@@ -320,21 +329,32 @@ def main():
                   file=sys.stderr)
         emit()
 
-    # value-ordered (r1–r3 measured standings); first is budget-exempt so
-    # a headline record always exists
+    # value-ordered (r1–r3 measured standings).  The resident kernel goes
+    # first: 0.94-class AND a cheap compile, so a strong headline is
+    # banked in the first ~2 minutes; the fused flagship (same matrix,
+    # ~300 s cold compile) follows while budget remains.  First variant
+    # is budget-exempt so a record always exists.
+    run_variant("bdia_fem_f32", lambda: bdia_fem(jnp.float32), 3,
+                exempt=True, est_cost=100)
     run_variant("bdia_fused_oneshot_f32", lambda: bdia_fused(jnp.float32),
-                3, exempt=True)
-    run_variant("bdia_fem_f32", lambda: bdia_fem(jnp.float32), 3)
-    run_variant("pallas_il_stream_f32", lambda: pallas_il_stream(jnp.float32), 3)
+                3, est_cost=300)
     run_unstructured()
-    run_variant("pallas_interleaved_f32", lambda: pallas_interleaved(jnp.float32), 2)
+    run_variant("pallas_il_stream_f32", lambda: pallas_il_stream(jnp.float32),
+                3, est_cost=70)
+    run_variant("pallas_interleaved_f32",
+                lambda: pallas_interleaved(jnp.float32), 2, est_cost=70)
     run_variant("bdia_fem_bf16v",
-                lambda: bdia_fem(jnp.float32, vals_dtype=jnp.bfloat16), 2)
-    run_variant("pallas_interleaved_bf16", lambda: pallas_interleaved(jnp.bfloat16), 2)
-    run_variant("pallas_layout_f32", lambda: pallas_layout(jnp.float32), 2)
-    run_variant("pallas_il_stream_bf16", lambda: pallas_il_stream(jnp.bfloat16), 2)
-    run_variant("pallas_layout_bf16", lambda: pallas_layout(jnp.bfloat16), 2)
-    run_variant("dia_xla_f32", lambda: xla_chain(jnp.float32), 2)
+                lambda: bdia_fem(jnp.float32, vals_dtype=jnp.bfloat16), 2,
+                est_cost=80)
+    run_variant("pallas_interleaved_bf16",
+                lambda: pallas_interleaved(jnp.bfloat16), 2, est_cost=70)
+    run_variant("pallas_layout_f32", lambda: pallas_layout(jnp.float32), 2,
+                est_cost=70)
+    run_variant("pallas_il_stream_bf16",
+                lambda: pallas_il_stream(jnp.bfloat16), 2, est_cost=70)
+    run_variant("pallas_layout_bf16", lambda: pallas_layout(jnp.bfloat16), 2,
+                est_cost=70)
+    run_variant("dia_xla_f32", lambda: xla_chain(jnp.float32), 2, est_cost=40)
 
     if not results:
         emit()

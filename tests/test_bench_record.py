@@ -38,7 +38,7 @@ def test_truncated_bench_still_emits_record():
     detail = rec["detail"]
     assert detail["truncated"] is True
     assert detail["skipped"], "budget 0 must skip the non-exempt variants"
-    assert detail["variant"] == "bdia_fused_oneshot_f32"
+    assert detail["variant"] == "bdia_fem_f32"  # the budget-exempt first
     # every later variant emits a superseding record; with budget 0 only
     # the exempt first variant (plus skip-emits) runs
     assert all(json.loads(ln)["metric"] == "spmv_roofline_frac"
