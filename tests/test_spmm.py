@@ -206,3 +206,31 @@ class TestRingMxuHybrid:
             layout_dtype=np.float32))
         ref = to_scipy(a) @ X
         assert np.abs(Y - ref).max() / np.abs(ref).max() < 5e-3
+
+
+class TestBdiaRingGeometry:
+    def test_prefers_grid_aligned_tm(self):
+        # fem 256x256 grid, dof 4: offsets {-256,-1,0,1,256}.  tm=256
+        # grid-aligns 3 of 5 offsets (12/20 pieces skip the two-slice
+        # concat) while tm=1024/512 align only d=0 — the geometry must
+        # trade step count for concat count (VERDICT r3 item 4b).
+        from cask_tpu.formats.device_gen import fem_bdia_device
+        from cask_tpu.ops.pallas.bdia_kernels import _bdia_mm_geometry
+
+        plan = fem_bdia_device(256, dof=4, dtype=jnp.float32)
+        tm = _bdia_mm_geometry(plan, 128, 4, 4)
+        assert tm == 256
+        aligned = sum(1 for (_, d) in plan.pairs if d % tm == 0)
+        assert aligned == 12
+
+    def test_largest_tm_on_ties(self):
+        # offsets {-64,-1,0,1,64} never align with any candidate tm, so
+        # the tie-break keeps the largest feasible strip
+        from cask_tpu.formats.device_gen import fem_bdia_device
+        from cask_tpu.ops.pallas.bdia_kernels import _bdia_mm_geometry
+
+        plan = fem_bdia_device(64, dof=4, dtype=jnp.float32)
+        tm = _bdia_mm_geometry(plan, 128, 4, 4)
+        # 512 is the largest VMEM-feasible strip for this shape (1024
+        # blows the ring budget) — unchanged from the pre-alignment rule
+        assert tm == 512
