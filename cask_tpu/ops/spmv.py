@@ -171,15 +171,41 @@ def _bdia_auto_plan(a: BSR):
     return plan
 
 
+def _dia_auto_plan(a: CSR):
+    """Instance-memoized DIA plan for the TPU CSR fast path (same cache
+    policy as :func:`_bdia_auto_plan`: built once per instance, misses
+    memoized, never planned under a trace)."""
+    cached = getattr(a, "_dia_auto_plan", _PLAN_MISS)
+    if cached is not _PLAN_MISS:
+        return cached
+    if isinstance(a.data, jax.core.Tracer):
+        return None
+    from cask_tpu.ops.dia import dia_plan, estimate_dia_traffic
+
+    plan = None
+    try:
+        if estimate_dia_traffic(a) is not None:
+            p = dia_plan(a)
+            if p.rem_data.shape[0] <= 0.1 * max(a.nnz, 1):
+                plan = p
+    except Exception:
+        plan = None
+    object.__setattr__(a, "_dia_auto_plan", plan)
+    return plan
+
+
 def spmv(a, x, *, transpose: bool = False, method: str = "auto",
          accum_dtype: Optional[object] = None):
     """``y = a @ x`` (or ``aᵀ @ x``).  See module docstring for methods.
 
-    On TPU, ``method='auto'`` on a :class:`BSR` matrix routes through a
-    cached BDIA plan + the fused one-shot Pallas kernel when the block
-    structure qualifies (see :func:`_bdia_auto_plan` for the cache
-    policy) — the obvious API call on the obvious input is the tuned
-    path (BASELINE north star), not the gather fallback."""
+    On TPU, ``method='auto'`` routes through a cached fast-path plan
+    when the structure qualifies — a :class:`BSR` matrix through a BDIA
+    plan + the fused one-shot Pallas kernel, a banded :class:`CSR`
+    through a DIA plan (see :func:`_bdia_auto_plan` for the cache
+    policy) — so the obvious API call on the obvious input is the tuned
+    path (BASELINE north star), not the gather fallback.  Unstructured
+    matrices should go through :func:`cask_tpu.tune.tune`, which also
+    times the POH one-hot kernels."""
     x = jnp.asarray(x)
     if x.ndim != 1:
         raise ValueError(f"x must be 1-D, got shape {x.shape}")
@@ -203,6 +229,15 @@ def spmv(a, x, *, transpose: bool = False, method: str = "auto",
         raise ValueError(f"unknown spmv method {method!r}")
 
     if isinstance(a, CSR):
+        if method == "auto" and not transpose and accum_dtype is None:
+            from cask_tpu.utils.platform import on_tpu
+
+            if on_tpu() or _AUTO_BSR_PLAN_FORCE:
+                plan = _dia_auto_plan(a)
+                if plan is not None:
+                    from cask_tpu.ops.dia import spmv_dia
+
+                    return spmv_dia(plan, x)
         return _spmv_xla_csr(a, x, transpose, accum_dtype)
     if isinstance(a, COO):
         return _spmv_xla_coo(a, x, transpose, accum_dtype)

@@ -277,3 +277,35 @@ class TestBsrAutoPlanRoute:
         np.testing.assert_allclose(y, to_scipy(a) @ x, rtol=1e-10, atol=1e-10)
         # tracer leaves must not be memoized
         assert getattr(b, "_bdia_auto_plan", None) is None
+
+
+class TestCsrAutoPlanRoute:
+    """Banded CSR rides a cached DIA plan by default on TPU."""
+
+    def test_auto_route_banded_and_cached(self, monkeypatch):
+        import importlib
+
+        spmv_mod = importlib.import_module("cask_tpu.ops.spmv")
+        monkeypatch.setattr(spmv_mod, "_AUTO_BSR_PLAN_FORCE", True)
+        a = banded(500, 4, seed=11)
+        x = jnp.asarray(np.random.default_rng(11).standard_normal(a.shape[1]))
+        y = np.asarray(spmv(a, x))
+        plan = getattr(a, "_dia_auto_plan")
+        assert plan is not None
+        np.testing.assert_allclose(y, to_scipy(a) @ np.asarray(x),
+                                   rtol=1e-10, atol=1e-10)
+        before = a._dia_auto_plan
+        spmv(a, x)
+        assert a._dia_auto_plan is before
+
+    def test_auto_route_declines_powerlaw(self, monkeypatch):
+        import importlib
+
+        spmv_mod = importlib.import_module("cask_tpu.ops.spmv")
+        monkeypatch.setattr(spmv_mod, "_AUTO_BSR_PLAN_FORCE", True)
+        a = power_law(400, avg_degree=5, seed=12)
+        x = jnp.asarray(np.random.default_rng(12).standard_normal(a.shape[1]))
+        y = np.asarray(spmv(a, x))
+        assert getattr(a, "_dia_auto_plan", "missing") is None
+        np.testing.assert_allclose(y, to_scipy(a) @ np.asarray(x),
+                                   rtol=1e-10, atol=1e-10)
