@@ -529,13 +529,17 @@ def _bdia_spmm_ring_kernel(pairs, bc, tm, kp, T, interpret, x_hbm, v_ref,
 
     def fill(s):
         # strip s for every component: DMA when it exists, zeros when it
-        # is a pad strip (structural-zero discipline at the edges)
+        # is a pad strip (structural-zero discipline at the edges).
+        # x_hbm is the 2-D (rows, bc·kp) natural view; component c's
+        # strip is the 128-aligned lane slice [c·kp, (c+1)·kp) — legal
+        # for every dtype tiling (the 3-D middle-dim slice crashed
+        # Mosaic on bf16's (16, 128) tiles, probe_bspmm2)
         for slot in range(_MM_BANKS):
             @pl.when((jnp.mod(s, _MM_BANKS) == slot) & (s >= 0) & (s < T))
             def _(slot=slot):
                 for c in range(bc):
                     pltpu.make_async_copy(
-                        x_hbm.at[pl.ds(s * tm, tm), c, :],
+                        x_hbm.at[pl.ds(s * tm, tm), pl.ds(c * kp, kp)],
                         banks.at[c * _MM_BANKS + slot],
                         sems.at[c * _MM_BANKS + slot],
                     ).start()
@@ -553,7 +557,7 @@ def _bdia_spmm_ring_kernel(pairs, bc, tm, kp, T, interpret, x_hbm, v_ref,
             def _(slot=slot):
                 for c in range(bc):
                     pltpu.make_async_copy(
-                        x_hbm.at[pl.ds(s * tm, tm), c, :],
+                        x_hbm.at[pl.ds(s * tm, tm), pl.ds(c * kp, kp)],
                         banks.at[c * _MM_BANKS + slot],
                         sems.at[c * _MM_BANKS + slot],
                     ).wait()
@@ -619,10 +623,10 @@ def bdia_spmm_pallas_ring(a: "_bdia.BdiaMatrix", x, *, out_dtype=None):
     rows = T * tm  # padded block columns/rows
 
     if n == rows * bc and k == kp:
-        x3 = x.reshape(rows, bc, kp)
+        x3 = x.reshape(rows, bc * kp)
     else:
         x3 = jnp.zeros((rows * bc, kp), x.dtype).at[:n, :k].set(x) \
-            .reshape(rows, bc, kp)
+            .reshape(rows, bc * kp)
 
     vmm = _mm_vals_pack(a, tm)
     kernel = functools.partial(_bdia_spmm_ring_kernel, a.pairs, bc, tm, kp,
@@ -631,7 +635,7 @@ def bdia_spmm_pallas_ring(a: "_bdia.BdiaMatrix", x, *, out_dtype=None):
         kernel,
         grid=(T, br),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # natural X (rows, bc, kp)
+            pl.BlockSpec(memory_space=pl.ANY),  # natural X (rows, bc·kp)
             pl.BlockSpec((1, 1, tm, a.npairs), lambda tt, r: (r, tt, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
