@@ -66,6 +66,8 @@ def _get() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_int32, i32p, i32p, f64p, i32p, i32p, f64p,
         i32p, i32p, f64p,
     ]
+    lib.cask_aggregate.restype = ctypes.c_int32
+    lib.cask_aggregate.argtypes = [ctypes.c_int32, i32p, i32p, i32p]
     _lib = lib
     return lib
 
@@ -155,3 +157,17 @@ def spgemm(m, n, p, a_indptr, a_indices, a_data, b_indptr, b_indices, b_data):
     if nnz == 0:
         c_col, c_val = c_col[:0], c_val[:0]
     return c_ptr, c_col, c_val
+
+
+def aggregate(indptr, indices):
+    """Greedy Vaněk aggregation over a CSR strength graph.
+
+    Returns ``(agg, n_agg)`` with ``agg[i]`` the aggregate id of node i.
+    Bit-identical to the Python fallback in ``solvers/amg.py`` (both are
+    order-dependent greedy passes in row order)."""
+    lib = _get()
+    ip, ic = _i32(indptr), _i32(indices)
+    n = len(ip) - 1
+    agg = np.zeros(max(n, 1), np.int32)
+    n_agg = lib.cask_aggregate(n, ip, ic, agg)
+    return agg[:n].astype(np.int64), int(n_agg)

@@ -276,4 +276,40 @@ void cask_spgemm_fill(int32_t m, int32_t p, const int32_t* a_ptr,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Greedy (Vaněk) aggregation over a symmetric strength graph in CSR form:
+// pass 1 roots nodes whose strong neighborhood is fully unaggregated,
+// pass 2 attaches leftovers to their first aggregated strong neighbor,
+// pass 3 makes isolated nodes singletons.  Mirrors the numpy/Python
+// fallback in solvers/amg.py exactly (order-dependent by design, so the
+// two paths produce identical aggregates).  Returns the aggregate count.
+// ---------------------------------------------------------------------------
+int32_t cask_aggregate(int32_t n, const int32_t* indptr,
+                       const int32_t* indices, int32_t* agg) {
+  for (int32_t i = 0; i < n; ++i) agg[i] = -1;
+  int32_t next_id = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    bool free_nbhd = true;
+    for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k)
+      if (agg[indices[k]] != -1) { free_nbhd = false; break; }
+    if (free_nbhd) {
+      agg[i] = next_id;
+      for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k)
+        agg[indices[k]] = next_id;
+      ++next_id;
+    }
+  }
+  for (int32_t i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      int32_t a = agg[indices[k]];
+      if (a != -1) { agg[i] = a; break; }
+    }
+  }
+  for (int32_t i = 0; i < n; ++i)
+    if (agg[i] == -1) agg[i] = next_id++;
+  return next_id;
+}
+
 }  // extern "C"

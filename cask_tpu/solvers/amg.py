@@ -59,8 +59,19 @@ def _aggregate(strength) -> np.ndarray:
     """Greedy aggregation over the strength graph (Vaněk pass 1+2+3).
 
     Returns ``agg[i]`` = aggregate id of node ``i`` (every node is
-    assigned; isolated nodes become singletons).
+    assigned; isolated nodes become singletons).  Routes through the
+    native C++ core when available — the row-order greedy passes are a
+    pure-Python O(n) loop otherwise, the dominant term of AMG setup at
+    1M rows (probe_amg2: 34 s total setup) — with this Python body as
+    the bit-identical fallback (parity-tested).
     """
+    try:
+        from cask_tpu.native import binding
+
+        agg, _ = binding.aggregate(strength.indptr, strength.indices)
+        return agg
+    except Exception:
+        pass
     n = strength.shape[0]
     indptr, indices = strength.indptr, strength.indices
     agg = np.full(n, -1, dtype=np.int64)

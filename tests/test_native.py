@@ -117,3 +117,51 @@ class TestNativeMtx:
         write_mtx(p, a)
         b = read_mtx(p)
         assert (abs(to_scipy(a) - to_scipy(b)) > 1e-14).nnz == 0
+
+
+class TestNativeAggregate:
+    def test_parity_with_python_fallback(self):
+        import numpy as np
+        import pytest
+
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.formats.generate import power_law, stencil_2d
+        from cask_tpu.native import binding
+        from cask_tpu.solvers.amg import _strength_graph
+
+        if not binding.available():
+            pytest.skip("native core unavailable")
+        # re-derive the Python greedy passes inline (the shipped
+        # _aggregate routes through native; parity needs both paths)
+        def py_aggregate(strength):
+            n = strength.shape[0]
+            indptr, indices = strength.indptr, strength.indices
+            agg = np.full(n, -1, dtype=np.int64)
+            next_id = 0
+            for i in range(n):
+                if agg[i] != -1:
+                    continue
+                nbrs = indices[indptr[i]:indptr[i + 1]]
+                if (agg[nbrs] == -1).all():
+                    agg[i] = next_id
+                    agg[nbrs] = next_id
+                    next_id += 1
+            for i in range(n):
+                if agg[i] != -1:
+                    continue
+                nbrs = indices[indptr[i]:indptr[i + 1]]
+                hit = nbrs[agg[nbrs] != -1]
+                if hit.size:
+                    agg[i] = agg[hit[0]]
+            for i in range(n):
+                if agg[i] == -1:
+                    agg[i] = next_id
+                    next_id += 1
+            return agg
+
+        for mat in (stencil_2d(30), power_law(900, avg_degree=5, seed=4)):
+            s = _strength_graph(to_scipy(mat).tocsr().astype(np.float64), 0.08)
+            agg_c, n_agg = binding.aggregate(s.indptr, s.indices)
+            agg_py = py_aggregate(s)
+            np.testing.assert_array_equal(agg_c, agg_py)
+            assert n_agg == int(agg_py.max()) + 1
