@@ -55,6 +55,11 @@ def norm_step(f):
     return step
 
 
+class _Nan:
+    seconds_per_iter = float("nan")
+    reliable = False
+
+
 def best_of(f, x0, tries=2, **kw):
     best = None
     for _ in range(tries):
@@ -62,7 +67,7 @@ def best_of(f, x0, tries=2, **kw):
         if np.isfinite(m.seconds_per_iter) and (
                 best is None or m.seconds_per_iter < best.seconds_per_iter):
             best = m
-    return best
+    return best if best is not None else _Nan()
 
 
 # ---------------- (a) isotropic decomposition --------------------------
@@ -79,6 +84,7 @@ log(f"AMG setup {time.time()-t0:.1f}s; levels {M.level_sizes}; "
 from cask_tpu.ops.pallas.poh_kernels import PohMatrix
 
 for li, lv in enumerate(M.levels):
+  try:
     nf = lv.a.shape[0] if not isinstance(lv.a, jax.Array) else lv.a.shape[0]
     xf = jax.jit(lambda nf=nf: jax.random.normal(
         jax.random.PRNGKey(li), (nf,), jnp.float32))()
@@ -98,6 +104,8 @@ for li, lv in enumerate(M.levels):
         f"P∘R={type(lv.p).__name__} {mPR.seconds_per_iter*1e6:.1f}us "
         f"(rel={mPR.reliable}, P slots={pn}) | "
         f"smoother-vec {mS.seconds_per_iter*1e6:.1f}us")
+  except Exception as e:
+    log(f"level {li} measurement failed: {type(e).__name__}: {e}")
 
 x0 = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(99), (n,),
                                        jnp.float32))()

@@ -116,11 +116,51 @@ class AmgLevel:
 def _apply_op(op, x, precision: str = "split"):
     if isinstance(op, jax.Array):
         return op @ x
+    if isinstance(op, _FactoredApply):
+        return op(x, precision)
     from cask_tpu.ops.pallas.poh_kernels import PohMatrix
 
     if isinstance(op, PohMatrix):
         return op.spmv(x, precision=precision)
     return spmv(op, x)
+
+
+@dataclasses.dataclass(frozen=True)
+class _FactoredApply:
+    """Smoothed prolongator applied in FACTORED form (probe_amg3: the
+    materialized smoothed P/R as POH packs were the V-cycle's dominant
+    term — 11.5 ms of the 11 ms cycle at 1M rows, ~3 slots/fine-row
+    each way).  With ``P = (I − ω_s D⁻¹A)·T``:
+
+        P·xc = t − ω_s·D⁻¹·(A·t),          t = T·xc
+        R·r  = Tᵀ·(r − ω_s·A·(D⁻¹·r))      (A symmetric)
+
+    so each application is one ONE-HOT tentative pack (exactly 1
+    slot/fine-row — the minimal POH) plus one application of the level
+    operator ``a``, which is already routed through the fast device
+    path (DIA at the fine level).  Strictly fewer slot-streams and the
+    A-apply rides the 0.9-class kernel instead of the ~4 Gnnz/s POH
+    floor."""
+
+    kind: str  # 'p' or 'r'
+    tent: object  # PohMatrix, (n × nc) one-hot
+    tent_t: object  # PohMatrix, (nc × n)
+    a: object  # routed level operator
+    dinv: jax.Array
+    omega_s: float
+
+    @property
+    def shape(self):
+        return self.tent.shape if self.kind == "p" else self.tent_t.shape
+
+    def __call__(self, x, precision: str = "split"):
+        w = jnp.asarray(self.omega_s, self.dinv.dtype)
+        if self.kind == "p":
+            t = _apply_op(self.tent, x, precision)
+            return t - w * self.dinv * _apply_op(self.a, t, precision)
+        return _apply_op(self.tent_t,
+                         x - w * _apply_op(self.a, self.dinv * x, precision),
+                         precision)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -233,6 +273,7 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
         n = a_sp.shape[0]
         tent = sp.csr_matrix(
             (np.ones(n), (np.arange(n), agg)), shape=(n, n_agg))
+        rho = None
         if smooth:
             dvals = a_sp.diagonal()
             dinv_h = np.where(dvals == 0, 0.0, 1.0 / np.where(dvals == 0, 1.0, dvals))
@@ -248,10 +289,21 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
         dvals = a_sp.diagonal()
         dinv = np.where(dvals == 0, 0.0, 1.0 / np.where(dvals == 0, 1.0, dvals))
         apply_dtype = np.dtype(dtype) if dtype is not None else a_sp.dtype
-        levels.append(AmgLevel(
-            a=put(a_sp), p=put(prol), r=put(prol.T.tocsr()),
-            dinv=jnp.asarray(dinv.astype(apply_dtype)),
-        ))
+        a_dev = put(a_sp)
+        dinv_dev = jnp.asarray(dinv.astype(apply_dtype))
+        if smooth and route == "auto" and n > dense_cutoff:
+            # factored application: the device never materializes the
+            # smoothed P/R — only the one-hot tentative packs (1
+            # slot/row) plus the already-routed level operator
+            # (_FactoredApply docstring; probe_amg3 decomposition)
+            fp = dict(tent=put(tent), tent_t=put(tent.T.tocsr()),
+                      a=a_dev, dinv=dinv_dev, omega_s=4.0 / 3.0 / rho)
+            p_dev = _FactoredApply(kind="p", **fp)
+            r_dev = _FactoredApply(kind="r", **fp)
+        else:
+            p_dev = put(prol)
+            r_dev = put(prol.T.tocsr())
+        levels.append(AmgLevel(a=a_dev, p=p_dev, r=r_dev, dinv=dinv_dev))
         a_sp = a_coarse
 
     coarse = np.linalg.inv(a_sp.toarray())

@@ -722,3 +722,35 @@ class TestAmgRouting:
         assert bool(res.converged)
         x = np.asarray(res.x)
         assert np.linalg.norm(spd @ x - b) / np.linalg.norm(b) < 1e-6
+
+
+class TestAmgFactoredPR:
+    """probe_amg3: the smoothed P/R POH packs were the V-cycle's
+    dominant term; large levels now apply P = (I - w D^-1 A) T in
+    factored form (one-hot tentative pack + the routed level op)."""
+
+    def test_factored_objects_and_parity(self):
+        from cask_tpu.solvers import smoothed_aggregation_amg
+        from cask_tpu.solvers.amg import _FactoredApply
+
+        a = stencil_2d(56)  # 3136 rows > dense_cutoff
+        M = smoothed_aggregation_amg(a)
+        assert isinstance(M.levels[0].p, _FactoredApply)
+        assert isinstance(M.levels[0].r, _FactoredApply)
+        assert M.levels[0].p.shape == (3136, M.level_sizes[1])
+        ref = smoothed_aggregation_amg(a, route="csr")
+        r = np.random.default_rng(7).standard_normal(a.shape[0])
+        np.testing.assert_allclose(np.asarray(M(r)), np.asarray(ref(r)),
+                                   rtol=1e-9, atol=1e-9)
+
+    def test_factored_pcg_converges(self):
+        from cask_tpu.solvers import cg, smoothed_aggregation_amg
+
+        a = stencil_2d(60)  # 3600 rows
+        M = smoothed_aggregation_amg(a)
+        b = np.random.default_rng(8).standard_normal(a.shape[0])
+        res = cg(a.device_put(), b, tol=1e-8, maxiter=200, M=M)
+        assert bool(res.converged)
+        x = np.asarray(res.x)
+        s = to_scipy(a)
+        assert np.linalg.norm(s @ x - b) / np.linalg.norm(b) < 1e-6
