@@ -21,11 +21,21 @@ anisotropic (ε=0.01) Poisson** where it cuts iterations 2.9× (1327 vs
 3824); the rule of thumb is ILU pays on TPU when it cuts iterations by
 more than the ~2.6× per-iteration overhead (133.6 vs 50.7 µs/iter
 measured).  Default to :func:`jacobi` / :func:`block_jacobi` /
-:func:`chebyshev_precond` / :mod:`cask_tpu.solvers.amg` on
-well-conditioned isotropic problems; reach for
-``ilu0(a).jacobi_applier(sweeps=2)`` on anisotropic / line-coupled
-systems.  Keep ``method='levels'`` for correctness tests, small
-systems, and many-RHS batches.
+:func:`chebyshev_precond` on well-conditioned isotropic problems;
+reach for ``ilu0(a).jacobi_applier(sweeps=2)`` on anisotropic /
+line-coupled systems.  Keep ``method='levels'`` for correctness tests,
+small systems, and many-RHS batches.
+
+**AMG guidance (measured, PERF.md probe_amg2/3/4):** the routed +
+factored V-cycle applies in ms-class and cuts iterations to O(10)
+without degrading under anisotropy (17 iso / 12 aniso at 1M rows vs
+2470/3879 for jacobi) — but on the axon dev harness each *solve call*
+pays a fixed ~30 s dispatching the multi-level executable, so
+single-solve wall favors jacobi/ILU-jac there.  Prefer
+:func:`~cask_tpu.solvers.amg.smoothed_aggregation_amg` when iteration
+counts dominate wall: many right-hand sides against one hierarchy,
+direct-attached runtimes, or operators where one-level preconditioners
+stall.
 """
 
 from __future__ import annotations
