@@ -238,7 +238,7 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
     a_sp = to_scipy(a).tocsr().astype(np.float64)
     levels: List[AmgLevel] = []
 
-    def put(mat_sp):
+    def put(mat_sp, row_panel: int = 4096):
         mat_sp = mat_sp.tocsr()
         apply_dt = np.dtype(dtype) if dtype is not None else mat_sp.dtype
         if route == "auto":
@@ -258,7 +258,8 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
             # T=8192 tiles: the measured-best unstructured config on
             # hardware (probe_tune2/bench); P/R packs are the V-cycle's
             # dominant term (probe_amg3), so their packing matters
-            return poh_plan(csr, tile_slots=8192).device_put()
+            return poh_plan(csr, tile_slots=8192,
+                            row_panel=row_panel).device_put()
         m = from_scipy(mat_sp, format="csr")
         if dtype is not None:
             m = m.astype(dtype)
@@ -296,7 +297,12 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
             # smoothed P/R — only the one-hot tentative packs (1
             # slot/row) plus the already-routed level operator
             # (_FactoredApply docstring; probe_amg3 decomposition)
-            fp = dict(tent=put(tent), tent_t=put(tent.T.tocsr()),
+            # tall 1-slot/row tentative packs fill tiles poorly at the
+            # default 4096-row panels (each (panel, window) group pads
+            # to whole 8192-slot tiles); 16384-row panels quarter the
+            # group count (probe_amg4's ~2.2 ns/slot floor analysis)
+            fp = dict(tent=put(tent, row_panel=16384),
+                      tent_t=put(tent.T.tocsr(), row_panel=16384),
                       a=a_dev, dinv=dinv_dev, omega_s=4.0 / 3.0 / rho)
             p_dev = _FactoredApply(kind="p", **fp)
             r_dev = _FactoredApply(kind="r", **fp)
