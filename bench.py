@@ -294,7 +294,9 @@ def main():
         host-packed power-law matrix on the panel one-hot kernel — never
         allowed to fail (or delay) the structured headline."""
         unstructured.pop("pending", None)
-        if remaining() < (5.0 if smoke else 60.0):
+        # needs its own cold Mosaic compile (~3-8 min in a bad window,
+        # run d was killed inside it) — gate on a compile-sized budget
+        if remaining() < (5.0 if smoke else 300.0):
             state["truncated"] = True
             skipped.append("unstructured_poh")
             emit()
