@@ -43,3 +43,22 @@ def test_truncated_bench_still_emits_record():
     # the exempt first variant (plus skip-emits) runs
     assert all(json.loads(ln)["metric"] == "spmv_roofline_frac"
                for ln in lines)
+
+
+def test_pick_attempt_prefers_plausible():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(_REPO, "bench.py"))
+    bench_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_mod)
+    bw = bench_mod.HBM_BW
+    # 1 byte/s units: frac = bytes / s / bw
+    plausible = {"s": 1.0, "bytes": 0.94 * bw, "reliable": True}
+    faster_impossible = {"s": 0.8, "bytes": 0.94 * bw, "reliable": True}
+    # the fastest PHYSICALLY POSSIBLE attempt wins, not the fastest
+    assert bench_mod.pick_attempt([plausible, faster_impossible]) is plausible
+    # all-impossible: the fastest carries (emit tiers exclude it later)
+    worse = {"s": 0.9, "bytes": 0.99 * bw, "reliable": True}
+    assert bench_mod.pick_attempt(
+        [faster_impossible, worse]) is faster_impossible
