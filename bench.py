@@ -313,7 +313,9 @@ def main():
             from cask_tpu.ops.pallas.poh_kernels import poh_plan
 
             n_un = 2048 if smoke else 50_000
-            ts_un = 2048 if smoke else 8192
+            # T=2048: measured ~4x over T=8192 on this matrix
+            # (probe_poh7 same-window sweep)
+            ts_un = 1024 if smoke else 2048
             a_un = power_law(n_un, avg_degree=12, dtype=np.float32, seed=3)
             dp = poh_plan(a_un, tile_slots=ts_un).device_put()
             slots = dp.vals.size

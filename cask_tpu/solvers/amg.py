@@ -255,10 +255,12 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
                 return dia_plan(csr).device_put()
             from cask_tpu.ops.pallas.poh_kernels import poh_plan
 
-            # T=8192 tiles: the measured-best unstructured config on
-            # hardware (probe_tune2/bench); P/R packs are the V-cycle's
-            # dominant term (probe_amg3), so their packing matters
-            return poh_plan(csr, tile_slots=8192,
+            # T=2048 tiles: probe_poh7's same-window sweep measured
+            # 2048-slot tiles ~4x faster per slot than 8192 on real
+            # patterns (per-tile cost grows superlinearly with T); the
+            # P/R packs are the V-cycle's dominant term (probe_amg3),
+            # so their packing matters
+            return poh_plan(csr, tile_slots=2048,
                             row_panel=row_panel).device_put()
         m = from_scipy(mat_sp, format="csr")
         if dtype is not None:
