@@ -238,7 +238,7 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
     a_sp = to_scipy(a).tocsr().astype(np.float64)
     levels: List[AmgLevel] = []
 
-    def put(mat_sp, row_panel: int = 4096):
+    def put(mat_sp, row_panel: int = 4096, tile_slots: int = 2048):
         mat_sp = mat_sp.tocsr()
         apply_dt = np.dtype(dtype) if dtype is not None else mat_sp.dtype
         if route == "auto":
@@ -255,12 +255,12 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
                 return dia_plan(csr).device_put()
             from cask_tpu.ops.pallas.poh_kernels import poh_plan
 
-            # T=2048 tiles: probe_poh7's same-window sweep measured
-            # 2048-slot tiles ~4x faster per slot than 8192 on real
-            # patterns (per-tile cost grows superlinearly with T); the
-            # P/R packs are the V-cycle's dominant term (probe_amg3),
-            # so their packing matters
-            return poh_plan(csr, tile_slots=2048,
+            # tile size is pattern-dependent (measured): T=2048 is ~4x
+            # faster per slot on scattered patterns (probe_poh7's 50k
+            # power-law sweep) while the REGULAR perfect-fill tentative
+            # packs run ~10% better at T=8192 (probe_amg7 vs amg5) —
+            # callers pick per pack
+            return poh_plan(csr, tile_slots=tile_slots,
                             row_panel=row_panel).device_put()
         m = from_scipy(mat_sp, format="csr")
         if dtype is not None:
@@ -303,8 +303,9 @@ def smoothed_aggregation_amg(a: CSR, *, theta: float = 0.08, omega: float = 2.0 
             # default 4096-row panels (each (panel, window) group pads
             # to whole 8192-slot tiles); 16384-row panels quarter the
             # group count (probe_amg4's ~2.2 ns/slot floor analysis)
-            fp = dict(tent=put(tent, row_panel=16384),
-                      tent_t=put(tent.T.tocsr(), row_panel=16384),
+            fp = dict(tent=put(tent, row_panel=16384, tile_slots=8192),
+                      tent_t=put(tent.T.tocsr(), row_panel=16384,
+                                 tile_slots=8192),
                       a=a_dev, dinv=dinv_dev, omega_s=4.0 / 3.0 / rho)
             p_dev = _FactoredApply(kind="p", **fp)
             r_dev = _FactoredApply(kind="r", **fp)
