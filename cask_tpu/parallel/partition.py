@@ -377,6 +377,13 @@ def partition_bdia(a, nshards: int, blocksize: Optional[Tuple[int, int]] = None,
     reshapes straight into the kernel with no pad pass — only when
     ``nbloc`` is a multiple of its slab span, 128·slab_rows = **16384**
     block rows; pass ``align_b=16384`` on configs-5-scale jobs.
+
+    Shard-size ceiling: the fused/resident interiors keep the shard's x
+    component segments resident in VMEM (~``4·bc·nbloc·br`` bytes at
+    f32), so shards beyond ~3M scalar rows (dof-4) fail
+    ``bdia_fused_ok`` and ``interior='auto'`` falls back to the slow
+    XLA interior — size the mesh so ``rows/nshards ≲ 3M``, not the
+    other way around.
     """
     from cask_tpu.formats.matrix import BSR
     from cask_tpu.ops.bdia import _pick_ts
