@@ -91,6 +91,19 @@ def spmm(a, x, *, transpose: bool = False, method: str = "auto",
     if isinstance(a, COO):
         return _spmm_xla_coo(a, x, transpose, accum_dtype)
     if isinstance(a, BSR):
+        if method == "auto" and not transpose and accum_dtype is None:
+            # same cached-plan fast path as spmv(bsr, x): one BDIA plan
+            # per instance serves both ops; the inner dispatch picks the
+            # kt kernel (k <= 64) or the ring (k > 64) on TPU
+            import importlib
+
+            spmv_mod = importlib.import_module("cask_tpu.ops.spmv")
+            from cask_tpu.utils.platform import on_tpu
+
+            if on_tpu() or spmv_mod._AUTO_BSR_PLAN_FORCE:
+                plan = spmv_mod._bdia_auto_plan(a)
+                if plan is not None:
+                    return spmm(plan, x)
         return _spmm_xla_bsr(a, x, transpose, accum_dtype)
     from cask_tpu.ops.dia import DiaMatrix, spmm_dia
 

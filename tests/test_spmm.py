@@ -234,3 +234,32 @@ class TestBdiaRingGeometry:
         # 512 is the largest VMEM-feasible strip for this shape (1024
         # blows the ring budget) — unchanged from the pre-alignment rule
         assert tm == 512
+
+
+class TestBsrSpmmAutoPlanRoute:
+    """spmm(bsr, X) shares spmv's cached BDIA plan on TPU."""
+
+    def test_auto_route_and_shared_cache(self, monkeypatch):
+        import importlib
+
+        from cask_tpu.formats.convert import csr_to_bsr, to_scipy
+        from cask_tpu.formats.generate import fem_blocks
+        from cask_tpu.ops.spmm import spmm
+
+        spmv_mod = importlib.import_module("cask_tpu.ops.spmv")
+        monkeypatch.setattr(spmv_mod, "_AUTO_BSR_PLAN_FORCE", True)
+        a = fem_blocks(10, dof=4)
+        b = csr_to_bsr(a, (4, 4))
+        X = jnp.asarray(np.random.default_rng(20).standard_normal(
+            (a.shape[1], 8)))
+        Y = np.asarray(spmm(b, X))
+        plan = getattr(b, "_bdia_auto_plan")
+        assert plan is not None
+        np.testing.assert_array_equal(Y, np.asarray(spmm(plan, X)))
+        np.testing.assert_allclose(Y, to_scipy(a) @ np.asarray(X),
+                                   rtol=1e-10, atol=1e-10)
+        # spmv and spmm share the one memoized plan
+        from cask_tpu.ops.spmv import spmv as _spmv
+
+        _spmv(b, X[:, 0])
+        assert b._bdia_auto_plan is plan
