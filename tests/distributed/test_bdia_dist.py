@@ -301,3 +301,17 @@ class TestBdia1MParity:
         ref = np.asarray(bdia_plan(a)._spmv_xla(jnp.asarray(x)))
         err = np.abs(y - ref).max() / np.abs(ref).max()
         assert err < 1e-5
+
+
+class TestFormulaicAlignB:
+    def test_fem_partition_align_b_parity(self):
+        from cask_tpu.parallel import fem_bdia_partition, fem_formula_bsr
+
+        bsr = fem_formula_bsr(20, dof=2, dtype=np.float64)
+        plan = fem_bdia_partition(20, dof=2, nshards=4, dtype=np.float64,
+                                  align_b=128)
+        assert plan.nbloc % 128 == 0
+        op = DistSpmv(plan, row_mesh(4), interior="fused")
+        x = np.random.default_rng(21).standard_normal(bsr.shape[1])
+        np.testing.assert_allclose(np.asarray(op(x)), to_scipy(bsr) @ x,
+                                   rtol=1e-12, atol=1e-12)
