@@ -23,10 +23,17 @@ log = logging.getLogger("cask_tpu.tune")
 
 # Seed values measured on v5e (PERF.md, 2026-08) — used only until a
 # backend runs ``calibrate_poh`` (or on CPU, where POH never runs).
+# probe_poh7 (r4) re-measured real scattered patterns: the per-slot cost
+# scales with the auto-sized column window (∝ tile_slots·n/nnz_panel),
+# so SMALL tiles win on scattered matrices (2048: 0.39 ns/slot vs 8192:
+# 1.49 at 50k power-law) while regular packs (AMG tentative) prefer
+# 8192; seeds reflect the scattered (home-turf) case and the tuner's
+# on-device timing settles per matrix.
 SEED_EQUIV_BYTES: Dict[str, float] = {
-    "poh:2048": 280.0,
-    "poh:8192": 225.0,
-    "poh_fast:8192": 220.0,
+    "poh:2048": 320.0,
+    "poh_fast:2048": 300.0,
+    "poh:8192": 1220.0,
+    "poh_fast:8192": 1200.0,
     "poh_mm": 130.0,
     "poh_mm_fast": 80.0,
 }
@@ -105,9 +112,9 @@ def calibrate_poh(cache: Optional[TunerCache] = None, *, n: int = 30_000,
         slots = dev.ntiles * ts  # packed slot count incl. tile fill
         m1 = measure(lambda v, d=dev: d.spmv(v, precision="split"), x1)
         record(f"poh:{ts}", m1.seconds_per_iter, slots)
+        m2 = measure(lambda v, d=dev: d.spmv(v, precision="fast"), x1)
+        record(f"poh_fast:{ts}", m2.seconds_per_iter, slots)
         if ts == 8192:
-            m2 = measure(lambda v, d=dev: d.spmv(v, precision="fast"), x1)
-            record(f"poh_fast:{ts}", m2.seconds_per_iter, slots)
             m3 = measure(lambda v, d=dev: d.spmm(v, precision="split"), xk)
             record("poh_mm", m3.seconds_per_iter, slots, kk=k)
             m4 = measure(lambda v, d=dev: d.spmm(v, precision="fast"), xk)

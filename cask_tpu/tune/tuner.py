@@ -223,6 +223,9 @@ def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
         calib = poh_equiv_bytes()
     if include_pallas and k is None and db <= 4:
         out.append(Variant("poh", nnz * calib["poh:2048"] + xbytes))
+        out.append(Variant("poh_fast:2048",
+                           nnz * calib.get("poh_fast:2048",
+                                           calib["poh:2048"]) + xbytes))
         out.append(Variant("poh:8192", nnz * calib["poh:8192"] + xbytes))
         out.append(Variant("poh_fast:8192", nnz * calib["poh_fast:8192"] + xbytes))
     if include_pallas and k is not None and k <= 64 and db <= 4:
