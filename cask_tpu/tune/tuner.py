@@ -294,7 +294,8 @@ class TunedSpmv:
 def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
          time_budget: int = 3, include_pallas: Optional[bool] = None,
          force: bool = False,
-         wall_budget_s: Optional[float] = None) -> TunedSpmv:
+         wall_budget_s: Optional[float] = None,
+         precision: str = "any") -> TunedSpmv:
     """Pick the fastest kernel variant for matrix ``a`` (SpMV, or SpMM
     with ``k`` dense columns); cache the winner by sparsity signature.
 
@@ -308,6 +309,11 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
     900 s on TPU, unlimited elsewhere; at least one candidate is always
     timed, and a truncated run records ``"truncated": true`` in its
     cache entry.
+    ``precision``: ``'any'`` (default) lets single-pass bf16-rounded
+    variants (``poh_fast*``, ~2e-3 relative error class) compete on
+    time; ``'f32'`` restricts the space to near-f32 variants (the
+    ``_fast`` kernels are excluded from enumeration and from cache
+    hits).
     """
     if include_pallas is None:
         from cask_tpu.utils.platform import on_tpu
@@ -324,9 +330,13 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
         else:
             raise TypeError(f"cannot tune {type(a)}")
 
+    if precision not in ("any", "f32"):
+        raise ValueError(f"unknown precision constraint {precision!r}")
     cache = cache or default_cache()
     sig = compute_signature(a)
     cache_key = f"{sig.key()}:k={k or 0}"
+    if precision == "f32":
+        cache_key += ":f32"  # 'any' winners may be bf16-rounded kernels
 
     if not force:
         hit = cache.get(cache_key)
@@ -343,6 +353,8 @@ def tune(a: CSR, *, k: Optional[int] = None, cache: Optional[TunerCache] = None,
 
     variants = enumerate_variants(a, sig, k, include_pallas=include_pallas,
                                   calib=poh_equiv_bytes(cache))
+    if precision == "f32":
+        variants = [v for v in variants if "_fast" not in v.name]
     variants.sort(key=lambda v: v.est_bytes)
     candidates = variants[: max(time_budget, 1)]
     # diversity rule (VERDICT r2 weak-5): a mis-ranked prefilter (e.g. an

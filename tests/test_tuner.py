@@ -437,3 +437,30 @@ class TestHbmBandwidth:
         bw, known = hbm_bandwidth()
         assert bw > 1e11
         assert isinstance(known, bool)
+
+
+class TestTunePrecisionConstraint:
+    def test_f32_excludes_fast_variants(self, tmp_tuner_cache):
+        from cask_tpu.formats.generate import power_law
+        from cask_tpu.tune.tuner import enumerate_variants
+        from cask_tpu.formats.signature import signature
+
+        a = power_law(600, avg_degree=6, seed=9, dtype=np.float32)
+        sig = signature(a)
+        names_any = {v.name for v in enumerate_variants(
+            a, sig, None, include_pallas=True)}
+        assert any("_fast" in n for n in names_any)
+        t = tune(a, cache=tmp_tuner_cache, time_budget=2, precision="f32")
+        assert "_fast" not in t.variant
+        assert t.signature_key.endswith(":f32")
+        # distinct cache rows for the two constraint classes
+        t2 = tune(a, cache=tmp_tuner_cache, time_budget=2)
+        assert t2.signature_key != t.signature_key
+
+    def test_unknown_precision_rejected(self, tmp_tuner_cache):
+        import pytest
+
+        from cask_tpu.formats.generate import stencil_2d
+
+        with pytest.raises(ValueError):
+            tune(stencil_2d(8), cache=tmp_tuner_cache, precision="bf16")
