@@ -250,8 +250,14 @@ def _bdia_fused_flat_kernel(pair_qs, br, bc, ts, seg128, lp128, tbx, P1, T,
         o_ref[...] = merged.astype(o_ref.dtype)
 
 
-# flat-grid cutover: value streams below this ride the (1 + T,) grid
-_FUSED_FLAT_MAX_VAL_BYTES = 24 * 1024 * 1024
+# flat-grid cutover: value streams below this ride the (1 + T,) grid.
+# r3 measured the two schedules tied at 1M rows (116.3 2-D vs 119.3
+# flat) and flat 1.7x better at 100k, with 24 MB as the cutover; r4
+# re-measured the 2-D grid swinging 128-163 us across windows while
+# flat stayed 118-119 BOTH days (probe_fused7) — flat is the robust
+# schedule, so the cutover now covers every VMEM-feasible stream (the
+# 2-D path remains reachable via flat=False for giant per-step blocks).
+_FUSED_FLAT_MAX_VAL_BYTES = 256 * 1024 * 1024
 
 
 def bdia_fused_ok(a: "_bdia.BdiaMatrix", *, slab_rows: int = 128) -> bool:
