@@ -11,12 +11,15 @@ every measurement because the record printed only at the end):
   finishes; the driver reads the tail, so the last line wins and a
   timeout costs only the unmeasured tail, never the headline;
 - an internal wall-clock budget (env ``CASK_BENCH_BUDGET_S``, default
-  420 s) is checked before each variant and each attempt; once exceeded
-  the rest are skipped and recorded in ``detail.skipped``;
-- variants are ordered by expected value (measured r1–r3 standings):
-  the 0.96-class fused/resident BDIA kernels first, scalar tail last at
-  fewer attempts.  The first variant is budget-exempt so a record
-  always exists.
+  600 s) is checked before each variant (static per-variant expected
+  costs — Mosaic remote compiles don't persist across processes) and
+  each attempt; skips are recorded in ``detail.skipped``;
+- variants are ordered by expected value (measured standings): the
+  0.96-class resident BDIA kernel first (cheap compile — banks a
+  strong headline in ~2 min), the fused flagship second, scalar tail
+  last at fewer attempts.  The first variant is budget-exempt so a
+  record always exists, and per-variant attempts keep every reading
+  (``pick_attempt`` takes the fastest physically-possible one).
 
 Measurement protocol notes (SURVEY.md §8.2 — the axon-proxied dev TPU
 defeats naive timing):
