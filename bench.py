@@ -4,12 +4,14 @@ Primary metric (BASELINE): tuned SpMV throughput per chip as a fraction
 of the HBM-bandwidth roofline, on a config-2-class stencil matrix
 (~1M rows).  ``vs_baseline`` compares against the ≥0.80 roofline target.
 
-Delivery protocol (VERDICT r3 item 1 — the r3 bench timed out and lost
-every measurement because the record printed only at the end):
+Delivery protocol (VERDICT r3 item 1 + r4 missing #1 — r3 timed out
+before printing; r4 printed a ~2.2 KB line that overflowed the driver's
+2000-char stdout tail):
 
-- a COMPLETE best-so-far record is printed after *every* variant
-  finishes; the driver reads the tail, so the last line wins and a
-  timeout costs only the unmeasured tail, never the headline;
+- after *every* variant two lines are printed: the COMPLETE best-so-far
+  detail record, then a COMPACT record (< ``COMPACT_LIMIT`` chars) with
+  the headline fields; the driver reads the tail, so the last — compact
+  — line always parses, and a timeout costs only the unmeasured tail;
 - an internal wall-clock budget (env ``CASK_BENCH_BUDGET_S``, default
   600 s) is checked before each variant (static per-variant expected
   costs — Mosaic remote compiles don't persist across processes) and
@@ -36,7 +38,76 @@ import os
 import sys
 import time
 
-HBM_BW = 819e9  # v5e spec; roofline denominator
+HBM_BW = 819e9  # v5e spec; fallback roofline denominator (see main())
+
+# The driver keeps only the LAST 2000 characters of stdout (VERDICT r4
+# missing #1: the r4 record line was ~2.2 KB and the head with
+# "metric"/"value" was sliced off → parsed:null).  Protocol since r5:
+# every emit prints the full detail record as a penultimate line, then a
+# COMPACT line hard-capped under this limit — the driver's tail view
+# always contains one complete compact JSON record.
+COMPACT_LIMIT = 1850
+
+
+def compact_record(record, limit=COMPACT_LIMIT):
+    """Compact final-line rendering of a full bench record.
+
+    Keeps the headline fields plus a trimmed detail (no ``all_variants``,
+    no attempt lists, skip count instead of skip names); degrades
+    field-by-field if somehow still over ``limit``.  Returns the JSON
+    string (callers print it verbatim as the LAST stdout line)."""
+    d = record.get("detail") or {}
+    un = d.get("unstructured")
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "vs_baseline": record["vs_baseline"],
+    }
+    if "error" in record:
+        compact["error"] = str(record["error"])[:200]
+    if d:
+        compact["detail"] = {
+            "variant": d.get("variant"),
+            "matrix": d.get("matrix"),
+            "rows": d.get("rows"),
+            "nnz": d.get("nnz"),
+            "seconds_per_op": d.get("seconds_per_op"),
+            "gnnz_per_s": d.get("gnnz_per_s"),
+            "gflops": d.get("gflops"),
+            "achieved_GBs": d.get("achieved_GBs"),
+            "hbm_bw_GBs": d.get("hbm_bw_GBs"),
+            "backend": d.get("backend"),
+            "reliable": d.get("reliable"),
+            "plausible": d.get("plausible"),
+            "truncated": d.get("truncated"),
+            "n_skipped": len(d.get("skipped") or []),
+            "wall_s": d.get("wall_s"),
+            "unstructured": (None if not un else {
+                "kernel": un.get("kernel"),
+                "matrix": un.get("matrix"),
+                "gnnz_per_s": un.get("gnnz_per_s"),
+                "reliable": un.get("reliable"),
+            }),
+        }
+    line = json.dumps(compact)
+    if len(line) > limit and "detail" in compact:
+        compact["detail"].pop("unstructured", None)
+        line = json.dumps(compact)
+    if len(line) > limit:
+        compact = {k: compact[k]
+                   for k in ("metric", "value", "unit", "vs_baseline")}
+        line = json.dumps(compact)
+    return line
+
+
+def qualify(reliable, frac):
+    """(reliable, plausible) as emitted per variant: a physically
+    impossible fraction (> 1.0 of roofline) is never reported as an
+    unqualified reliable reading (VERDICT r4 weak-4 — BENCH_r04 carried
+    dia_xla_f32 at frac 1.73 with reliable:true)."""
+    plausible = frac <= 1.0
+    return bool(reliable) and plausible, plausible
 
 
 def pick_attempt(attempts, hbm_bw=HBM_BW):
@@ -84,8 +155,13 @@ def main():
     from cask_tpu.formats.device_gen import stencil2d_dia_device
     from cask_tpu.ops.pallas import dia_kernels as dk
     from cask_tpu.tune.timing import measure_chained
+    from cask_tpu.utils.platform import hbm_bandwidth
 
     on_tpu = _on_tpu()
+    # roofline denominator from the actual device generation (ADVICE r4:
+    # hardcoded 819e9 implies frac>1 everywhere on a non-v5e part);
+    # unknown devices keep the v5e stand-in with known=False recorded
+    hbm_bw, hbm_known = hbm_bandwidth()
 
     side = int(os.environ.get("CASK_BENCH_SIDE", "64" if smoke else "1024"))
     m = side * side
@@ -110,16 +186,19 @@ def main():
         return budget_s - (time.time() - t_start)
 
     def emit():
-        """Print a complete best-so-far record (one JSON line; the driver
-        keeps the tail, so each emission supersedes the previous)."""
+        """Print a complete best-so-far record: the full detail line,
+        then the compact final line (the driver keeps a 2000-char tail,
+        so the last — compact — line is what it parses)."""
         if not attempts_log:
-            print(json.dumps({"metric": "spmv_roofline_frac", "value": 0.0,
-                              "unit": "fraction", "vs_baseline": 0.0,
-                              "error": "no variant completed",
-                              "skipped": skipped}), flush=True)
+            rec = {"metric": "spmv_roofline_frac", "value": 0.0,
+                   "unit": "fraction", "vs_baseline": 0.0,
+                   "error": "no variant completed",
+                   "skipped": skipped}
+            print(json.dumps(rec), flush=True)
+            print(compact_record(rec), flush=True)
             return
-        results = {k: pick_attempt(atts) for k, atts in attempts_log.items()}
-        fracs = {k: v["bytes"] / v["s"] / HBM_BW for k, v in results.items()}
+        results = {k: pick_attempt(atts, hbm_bw) for k, atts in attempts_log.items()}
+        fracs = {k: v["bytes"] / v["s"] / hbm_bw for k, v in results.items()}
         # headline pool: f32-value variants only (bf16 value streams are a
         # different accuracy class AND the relay's impossible-reading
         # artifacts hit un-normalized bf16 chains hardest — probe_bdia_bf16
@@ -137,7 +216,7 @@ def main():
         record = {
             "metric": "spmv_roofline_frac",
             "value": round(frac, 4),
-            "unit": "fraction_of_819GBs_HBM_roofline",
+            "unit": f"fraction_of_{hbm_bw / 1e9:.0f}GBs_HBM_roofline",
             "vs_baseline": round(frac / 0.80, 4),
             "detail": {
                 "variant": best,
@@ -148,21 +227,27 @@ def main():
                 "seconds_per_op": secs,
                 "gnnz_per_s": round(meta["nnz"] / secs / 1e9, 3),
                 "gflops": round(2 * meta["nnz"] / secs / 1e9, 2),
-                "achieved_GBs": round(frac * HBM_BW / 1e9, 2),
+                "achieved_GBs": round(frac * hbm_bw / 1e9, 2),
+                "hbm_bw_GBs": round(hbm_bw / 1e9, 1),
+                "hbm_bw_known": hbm_known,
                 "backend": ("tpu" if on_tpu else "cpu"),
                 "on_tpu": on_tpu,
-                "reliable": results[best]["reliable"],
+                "reliable": qualify(results[best]["reliable"], frac)[0],
+                "plausible": qualify(results[best]["reliable"], frac)[1],
                 # per-variant records each carry their OWN matrix: the bench
                 # mixes stencil5 (dia variants) and fem_dof4 (bdia variants)
                 # matrices, and cross-matrix fraction comparisons are
-                # meaningless without the tag (VERDICT r2 weak-4)
+                # meaningless without the tag (VERDICT r2 weak-4).  Each
+                # entry carries its plausibility verdict (VERDICT r4 weak-4:
+                # a frac>1 reading must never read as unqualified reliable).
                 "all_variants": {
                     k: {"us": round(v["s"] * 1e6, 2),
                         "frac": round(fracs[k], 4),
                         "matrix": v["meta"]["matrix"],
-                        "reliable": v["reliable"],
+                        "reliable": qualify(v["reliable"], fracs[k])[0],
+                        "plausible": qualify(v["reliable"], fracs[k])[1],
                         "attempt_fracs": [
-                            round(r["bytes"] / r["s"] / HBM_BW, 4)
+                            round(r["bytes"] / r["s"] / hbm_bw, 4)
                             for r in attempts_log[k]]}
                     for k, v in results.items()
                 },
@@ -174,7 +259,10 @@ def main():
                 "wall_s": round(time.time() - t_start, 1),
             },
         }
+        # penultimate line: the full detail record (humans, PERF.md);
+        # final line: the compact record the driver's 2000-char tail parses
         print(json.dumps(record), flush=True)
+        print(compact_record(record), flush=True)
 
     def run_variant(name, fn, attempts, exempt=False, est_cost=70.0):
         """Budget-gated measurement of one variant; emits after finishing.

@@ -258,12 +258,18 @@ class BdiaMatrix:
     # -- compute ----------------------------------------------------------
 
     def spmv(self, x, *, method: str = "auto"):
-        if method in ("auto", "pallas", "fused") and bdia_pallas_ok(self):
-            from cask_tpu.ops.pallas.bdia_kernels import bdia_spmv_pallas_fused
-
+        if method in ("auto", "pallas", "fused"):
+            # gate on the FUSED kernel's own preconditions, not just the
+            # resident ones (ADVICE r4: a wide-band plan can pass
+            # bdia_pallas_ok yet exceed the fused halo-slab / seg128
+            # VMEM limits — fall back to XLA instead of raising)
+            from cask_tpu.ops.pallas.bdia_kernels import (
+                bdia_fused_ok,
+                bdia_spmv_pallas_fused,
+            )
             from cask_tpu.utils.platform import on_tpu
 
-            if method in ("pallas", "fused") or on_tpu():
+            if bdia_fused_ok(self) and (method in ("pallas", "fused") or on_tpu()):
                 # natural-in/natural-out kernel: the component relayout
                 # runs in-kernel (VERDICT r2 item 2) — one-shot callers
                 # no longer pay the XLA permutation-matmul wrappers

@@ -157,12 +157,17 @@ def _bdia_auto_plan(a: BSR):
         return cached
     if isinstance(a.data, jax.core.Tracer):
         return None  # can't host-plan under a trace; don't memoize
-    from cask_tpu.ops.bdia import bdia_pallas_ok, bdia_plan
+    from cask_tpu.ops.bdia import bdia_plan
+    from cask_tpu.ops.pallas.bdia_kernels import bdia_fused_ok
 
     plan = None
     try:
         p = bdia_plan(a, a.blocksize)
-        if bdia_pallas_ok(p) and \
+        # gate on the fused one-shot kernel's FULL preconditions (halo
+        # slab + seg128 VMEM scratch), same as DistSpmv's auto interior
+        # resolution — bdia_pallas_ok alone admits wide-band plans whose
+        # fused call raises on TPU (ADVICE r4 medium)
+        if bdia_fused_ok(p) and \
                 p.rem_data.shape[0] <= 0.1 * max(a.nnz, 1):
             plan = p
     except Exception:  # planning failure = not profitable, use XLA

@@ -237,10 +237,14 @@ def _bdia_shard_meta(plan: BdiaPartition):
     from cask_tpu.ops.bdia import BdiaMatrix
 
     _, br, T, npairs, TS, L = plan.vals.shape
-    z = np.zeros((0,), np.float32)
+    # empty-remainder dtypes match bdia_plan's (rem_row/rem_col are
+    # integer index arrays — ADVICE r4: a float32 stand-in would fail
+    # subtly if a consumer ever indexed with them)
+    zf = np.zeros((0,), np.float32)
+    zi = np.zeros((0,), np.int32)
     return BdiaMatrix(
         vals=jax.ShapeDtypeStruct((br, T, npairs, TS, L), plan.vals.dtype),
-        rem_data=z, rem_row=z, rem_col=z,
+        rem_data=zf, rem_row=zi, rem_col=zi,
         block_offsets=plan.block_offsets,
         shape=(plan.mloc, plan.mloc),
         blocksize=plan.blocksize,

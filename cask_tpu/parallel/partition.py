@@ -405,6 +405,16 @@ def partition_bdia(a, nshards: int, blocksize: Optional[Tuple[int, int]] = None,
     P = nshards
     nbr = a.n_block_rows
     nbloc = _ceil_div(_ceil_div(nbr, P), align_b) * align_b
+    if (P - 1) * nbloc >= nbr:
+        # align_b rounding left at least one shard 100% padding; the
+        # halo/fixup/remainder paths are untested for empty shards
+        # (ADVICE r4) — refuse with actionable guidance instead
+        raise ValueError(
+            f"align_b={align_b} rounds the shard size to {nbloc} block "
+            f"rows, but the matrix has only {nbr} block rows across "
+            f"{P} shards — shard {P - 1} would hold no real rows. "
+            f"Use a smaller align_b or fewer shards "
+            f"(need (P-1)*nbloc < nbr).")
     mloc = nbloc * br
 
     indptr = np.asarray(a.indptr, dtype=np.int64)

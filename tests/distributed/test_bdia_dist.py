@@ -315,3 +315,36 @@ class TestFormulaicAlignB:
         x = np.random.default_rng(21).standard_normal(bsr.shape[1])
         np.testing.assert_allclose(np.asarray(op(x)), to_scipy(bsr) @ x,
                                    rtol=1e-12, atol=1e-12)
+
+
+class TestShardMetaAndAlignGuards:
+    def test_shard_meta_remainder_dtypes_match_plan(self):
+        # ADVICE r4: the metadata-only shard view must carry the same
+        # int32 index dtypes as a real plan's empty remainder
+        from cask_tpu.ops.bdia import bdia_plan
+        from cask_tpu.parallel.dist import _bdia_shard_meta
+
+        a = _fem(16, seed=9)
+        plan = partition_bdia(a, 4)
+        meta = _bdia_shard_meta(plan)
+        assert meta.rem_row.dtype == np.int32
+        assert meta.rem_col.dtype == np.int32
+        assert meta.rem_data.dtype == np.float32
+        # same dtypes a real plan uses for an empty remainder
+        ref = bdia_plan(_fem(8, seed=9), (4, 4))
+        assert ref.rem_data.shape[0] == 0
+        assert np.dtype(meta.rem_row.dtype) == np.dtype(ref.rem_row.dtype)
+        assert np.dtype(meta.rem_col.dtype) == np.dtype(ref.rem_col.dtype)
+
+    def test_align_b_empty_shard_rejected(self):
+        # ADVICE r4: align_b rounding that leaves an all-padding shard
+        # must fail loudly, not run untested halo/fixup paths
+        a = _fem(16, seed=10)  # 256 block rows
+        with pytest.raises(ValueError, match="no real rows"):
+            partition_bdia(a, 4, align_b=128)  # nbloc=128, 3*128 >= 256
+        # the largest non-degenerate rounding still partitions correctly
+        plan = partition_bdia(a, 4, align_b=64)  # nbloc=64, 3*64 < 256
+        op = DistSpmv(plan, row_mesh(4))
+        x = np.random.default_rng(10).standard_normal(a.shape[1])
+        np.testing.assert_allclose(np.asarray(op(x)), to_scipy(a) @ x,
+                                   rtol=1e-12, atol=1e-12)

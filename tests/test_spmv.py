@@ -309,3 +309,53 @@ class TestCsrAutoPlanRoute:
         assert getattr(a, "_dia_auto_plan", "missing") is None
         np.testing.assert_allclose(y, to_scipy(a) @ np.asarray(x),
                                    rtol=1e-10, atol=1e-10)
+
+
+class TestWideBandFusedGate:
+    """ADVICE r4 medium: a wide-band plan can pass the resident-kernel
+    residency check (bdia_pallas_ok) while violating the fused one-shot
+    kernel's halo-slab limit (hi > 128·slab_rows block offsets).  The
+    auto route and BdiaMatrix.spmv must fall back to XLA, never raise."""
+
+    def _wide_band(self, n=40_000, off=17_000):
+        import scipy.sparse as sp
+
+        from cask_tpu.formats.convert import from_scipy
+
+        s = sp.diags([np.ones(n), 0.5 * np.ones(n - off)], [0, off],
+                     shape=(n, n), format="csr")
+        return csr_to_bsr(from_scipy(s), (1, 1))
+
+    def test_fixture_hits_the_gap(self):
+        from cask_tpu.ops.bdia import bdia_pallas_ok, bdia_plan
+        from cask_tpu.ops.pallas.bdia_kernels import bdia_fused_ok
+
+        p = bdia_plan(self._wide_band(), (1, 1))
+        assert p.hi > 16384  # beyond the fused de-interleave slab
+        assert bdia_pallas_ok(p), "fixture must pass the resident check"
+        assert not bdia_fused_ok(p), "fixture must fail the fused check"
+
+    def test_auto_route_declines_wide_band(self, monkeypatch):
+        import importlib
+
+        spmv_mod = importlib.import_module("cask_tpu.ops.spmv")
+        monkeypatch.setattr(spmv_mod, "_AUTO_BSR_PLAN_FORCE", True)
+        b = self._wide_band()
+        x = jnp.asarray(np.random.default_rng(21).standard_normal(b.shape[1]))
+        y = np.asarray(spmv(b, x))
+        # the memoized auto plan must be None (fused preconditions fail)
+        assert getattr(b, "_bdia_auto_plan", "missing") is None
+        np.testing.assert_allclose(y, to_scipy(b) @ np.asarray(x),
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_plan_spmv_falls_back_instead_of_raising(self):
+        from cask_tpu.ops.bdia import bdia_plan
+
+        b = self._wide_band()
+        p = bdia_plan(b, (1, 1))
+        x = jnp.asarray(np.random.default_rng(22).standard_normal(b.shape[1]))
+        # explicit method='fused' on an ineligible plan: XLA fallback
+        for method in ("auto", "fused", "pallas"):
+            y = np.asarray(p.spmv(x, method=method))
+            np.testing.assert_allclose(y, to_scipy(b) @ np.asarray(x),
+                                       rtol=1e-10, atol=1e-10)
