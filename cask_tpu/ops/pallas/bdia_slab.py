@@ -1,0 +1,304 @@
+"""MXU slab formulation of wide-k BDIA SpMM (VERDICT r4 item 3).
+
+The ring SpMM kernel (:func:`bdia_kernels.bdia_spmm_pallas_ring`) is
+VPU-FMA-bound at 0.163 useful roofline on the 1M-row fem dof-4 matrix at
+k=128: D·bc = 20 shifted FMA passes per output tile, and both named
+levers measured null/weak (PERF.md probe_bspmm2 — concat fusion 1.00x,
+bf16 streams 1.32x).  This module changes the physics instead of the
+schedule: the block band is **pre-sheared once** (plan time, on device)
+into per-tile dense slabs, so each application is a dense
+``(G·br × W) @ (W × k)`` matmul per tile — MXU work, not VPU passes.
+
+Slab layout per tile ``t`` of ``G`` block rows (``W = 2·bc + G·bc·(1 +
+n_far)`` columns)::
+
+    [ halo 2·bc | near band G·bc | far segment G·bc per far offset ]
+
+- *near* block offsets (|d| ≤ 1) shear into a dense band inside the
+  ``G·bc`` core segment, with the two boundary blocks (d=−1 at the
+  tile's first block row, d=+1 at its last) landing in the ``2·bc`` halo
+  columns;
+- each *far* offset d (``G | d`` required) is a block diagonal inside
+  its own ``G·bc`` segment, whose X window is the core window shifted by
+  ``d/G`` whole tiles — a static BlockSpec index-map offset, so the
+  Pallas pipeline streams every window with no gathers.
+
+Cost model (fem dof-4, 1M rows, k=128, G=16): the slab stream inflates
+values ~10x (84 MB → 840 MB f32) and X is read once per segment (3x),
+total ~3.0 GB vs the ring's 1.16 GB — but the FLOPs (54 G, vs 5.4 G
+useful) run on the MXU at ~200 TFLOPs instead of the VPU's ~8, so the
+kernel is HBM-bound at a ~3.7 ms floor against the ring's measured
+8.7 ms VPU wall.  MXU default precision truncates f32 operands to bf16
+(PERF.md probe8b: relerr ~3e-3); pass ``precision='highest'`` for the
+6-pass exact-f32 product when accuracy matters more than speed.
+
+cask analog: the wide-k SpMM hardware path (SURVEY.md §2 R2/T3) — the
+"matching-or-beating" target the ring's VPU bound could not reach.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cask_tpu.ops import bdia as _bdia
+
+_LANE = 128
+
+
+def _interpret() -> bool:
+    from cask_tpu.utils.platform import on_tpu
+
+    return not on_tpu()
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BdiaSlabs:
+    """Pre-sheared dense slab plan for the MXU SpMM path.
+
+    Segments are SEPARATE arrays (not one concatenated width) so every
+    in-kernel dot consumes a whole VMEM ref — no lane-offset slices for
+    Mosaic to relayout.  Row ``t·G·br + g·br + r`` of each segment
+    multiplies that segment's X window into scalar output row
+    ``(t·G + g)·br + r`` of tile ``t``.
+    """
+
+    halo: jax.Array  # (ntiles · G·br, 2·bc) — d=∓1 boundary blocks
+    core: jax.Array  # (ntiles · G·br, G·bc) — |d| ≤ 1 sheared band
+    fars: Tuple[jax.Array, ...]  # one (ntiles · G·br, G·bc) per far offset
+    g: int = dataclasses.field(metadata=dict(static=True))
+    blocksize: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    far_offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    nb_pad: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def ntiles(self) -> int:
+        return self.nb_pad // self.g
+
+    @property
+    def gb_r(self) -> int:
+        return self.g * self.blocksize[0]
+
+    @property
+    def gb_c(self) -> int:
+        return self.g * self.blocksize[1]
+
+    @property
+    def width(self) -> int:
+        """Total slab columns across segments (traffic accounting)."""
+        return 2 * self.blocksize[1] + self.gb_c * (1 + len(self.far_offsets))
+
+    @property
+    def dtype(self):
+        return self.core.dtype
+
+    @property
+    def pad_tiles(self) -> int:
+        """Zero tiles on each side of the padded X/Y layout (covers the
+        farthest offset, rounded up to whole tiles)."""
+        if not self.far_offsets:
+            return 0
+        m = max(abs(d) for d in self.far_offsets)
+        return -(-m // self.g)
+
+    # -- padded chain layout ---------------------------------------------
+
+    def to_padded(self, x) -> jax.Array:
+        """Natural (n, k) → the zero-padded (rows_pad, kp) chain layout."""
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[:, None]
+        k = x.shape[1]
+        kp = max(_LANE, -(-k // _LANE) * _LANE)
+        p = self.pad_tiles * self.gb_c
+        body = self.ntiles * self.gb_c
+        out = jnp.zeros((p + body + p, kp), x.dtype)
+        return out.at[p : p + x.shape[0], :k].set(x)
+
+    def from_padded(self, ypad, k: int) -> jax.Array:
+        p = self.pad_tiles * self.gb_r
+        m = self.shape[0]
+        return ypad[p : p + m, :k]
+
+
+def bdia_slab_ok(a: "_bdia.BdiaMatrix", g: int = 16) -> bool:
+    """Can this plan take the slab MXU path?  Near offsets must be
+    |d| ≤ 1 (one-block halo) and every far offset a multiple of ``g``
+    (whole-tile BlockSpec shifts)."""
+    if a.nb_pad % g:
+        return False
+    for d in a.block_offsets:
+        if abs(d) > 1 and d % g:
+            return False
+    return True
+
+
+def bdia_slab_plan(a: "_bdia.BdiaMatrix", g: int = 16,
+                   dtype=None) -> BdiaSlabs:
+    """Shear the block band into per-tile dense slabs (device, one-time,
+    jittable).  ``dtype=jnp.bfloat16`` halves the slab stream (the MXU
+    truncates to bf16 at default precision anyway — only the *stored*
+    precision changes)."""
+    if not bdia_slab_ok(a, g):
+        raise ValueError(f"plan not slab-eligible at g={g} "
+                         f"(offsets {a.block_offsets})")
+    br, bc = a.blocksize
+    dt = jnp.dtype(dtype or a.vals.dtype)
+    nb_pad, npairs = a.nb_pad, a.npairs
+    ntiles = nb_pad // g
+    offs = a.block_offsets
+    near = [d for d in offs if abs(d) <= 1]
+    far = tuple(sorted(d for d in offs if abs(d) > 1))
+    # undo the (br, T, j, ts, 128) tiling → (br, i, j) natural values
+    v_nat = a.vals.transpose(0, 1, 3, 4, 2).reshape(br, nb_pad, npairs)
+
+    def blocks(d):
+        dpos = offs.index(d)
+        bd = v_nat[:, :, dpos * bc : (dpos + 1) * bc]  # (br, i, c)
+        return jnp.moveaxis(bd, 0, 1).reshape(ntiles, g, br, bc).astype(dt)
+
+    gb_c = g * bc
+    halo = jnp.zeros((ntiles, g, br, 2 * bc), dt)
+    core = jnp.zeros((ntiles, g, br, gb_c), dt)
+    for d in near:
+        B = blocks(d)
+        eye = jnp.eye(g, g, d, dtype=dt)  # [g, h]: 1 at h = g + d
+        core = core + jnp.einsum("tgrc,gh->tgrhc", B, eye).reshape(
+            ntiles, g, br, gb_c)
+        if d == -1:  # first block row's sub-diagonal block → halo pre
+            halo = halo.at[:, 0, :, :bc].set(B[:, 0])
+        if d == 1:  # last block row's super-diagonal block → halo post
+            halo = halo.at[:, g - 1, :, bc:].set(B[:, g - 1])
+    eye_g = jnp.eye(g, dtype=dt)
+    fars = tuple(  # block diagonal within its own shifted window
+        jnp.einsum("tgrc,gh->tgrhc", blocks(d), eye_g).reshape(
+            ntiles * g * br, gb_c)
+        for d in far)
+    return BdiaSlabs(
+        halo=halo.reshape(ntiles * g * br, 2 * bc),
+        core=core.reshape(ntiles * g * br, gb_c),
+        fars=fars,
+        g=g, blocksize=(br, bc), shape=a.shape,
+        far_offsets=far, nb_pad=nb_pad,
+    )
+
+
+def _slab_kernel(bc, nfar, p0t, ntiles, acc_dtype, precision, interpret,
+                 sh_ref, sc_ref, *rest):
+    # rest = (*far slab refs, xpre, xpost, xcore, *xfar, o_ref)
+    sf_refs = rest[:nfar]
+    xpre_ref, xpost_ref, xc_ref = rest[nfar : nfar + 3]
+    xf_refs = rest[nfar + 3 : 2 * nfar + 3]
+    o_ref = rest[2 * nfar + 3]
+    t = pl.program_id(0)
+    in_body = (t >= p0t) & (t < p0t + ntiles)
+
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+        precision=precision,
+    )
+
+    @pl.when(jnp.logical_not(in_body))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(in_body)
+    def _():
+        h = jnp.concatenate([xpre_ref[:], xpost_ref[:]], axis=0)  # (2bc, kp)
+        acc = dot(sh_ref[:], h)
+        acc = acc + dot(sc_ref[:], xc_ref[:])
+        for fi in range(nfar):
+            acc = acc + dot(sf_refs[fi][:], xf_refs[fi][:])
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def bdia_spmm_slab_padded(sl: BdiaSlabs, xpad, *,
+                          precision: Optional[str] = None,
+                          out_dtype=None):
+    """``Ypad = A @ Xpad`` in the zero-padded chain layout (square blocks:
+    output layout == input layout, so solver iterations chain with no
+    pad/slice copies — the measurement discipline of SURVEY §8.2)."""
+    br, bc = sl.blocksize
+    if br != bc:
+        raise ValueError("padded slab chain layout needs square blocks")
+    g, gb_r, gb_c = sl.g, sl.gb_r, sl.gb_c
+    ntiles, p0t = sl.ntiles, sl.pad_tiles
+    nfar = len(sl.far_offsets)
+    total = p0t + ntiles + p0t
+    kp = int(xpad.shape[1])
+    if kp % _LANE:
+        raise ValueError(f"padded layout needs 128-multiple lanes, got {kp}")
+    if xpad.shape[0] != total * gb_c:
+        raise ValueError(f"xpad rows {xpad.shape[0]} != {total * gb_c}")
+    if out_dtype is None:
+        out_dtype = jnp.promote_types(sl.dtype, xpad.dtype)
+        if jnp.bfloat16 in (jnp.dtype(sl.dtype), jnp.dtype(xpad.dtype)):
+            out_dtype = jnp.promote_types(out_dtype, jnp.float32)
+    nblk = total * g  # bc-row halo blocks in the padded frame
+
+    def _slab_map(t):
+        return (jnp.clip(t - p0t, 0, ntiles - 1), 0)
+
+    def _far_map(sh):
+        def m(t):
+            return (jnp.clip(t + sh, 0, total - 1), 0)
+        return m
+
+    in_specs = [
+        pl.BlockSpec((gb_r, 2 * bc), _slab_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb_r, gb_c), _slab_map, memory_space=pltpu.VMEM),
+    ]
+    for _ in sl.far_offsets:
+        in_specs.append(pl.BlockSpec((gb_r, gb_c), _slab_map,
+                                     memory_space=pltpu.VMEM))
+    in_specs += [
+        pl.BlockSpec((bc, kp), lambda t: (jnp.maximum(t * g - 1, 0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bc, kp), lambda t: (jnp.minimum((t + 1) * g, nblk - 1), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb_c, kp), lambda t: (t, 0), memory_space=pltpu.VMEM),
+    ]
+    for d in sl.far_offsets:
+        in_specs.append(pl.BlockSpec((gb_c, kp), _far_map(d // g),
+                                     memory_space=pltpu.VMEM))
+    acc_dtype = (jnp.float64 if jnp.dtype(out_dtype) == jnp.float64
+                 else jnp.float32)
+    kernel = functools.partial(_slab_kernel, bc, nfar, p0t, ntiles,
+                               acc_dtype, precision, _interpret())
+    return pl.pallas_call(
+        kernel,
+        grid=(total,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((gb_r, kp), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total * gb_r, kp), out_dtype),
+        interpret=_interpret(),
+    )(sl.halo, sl.core, *sl.fars, xpad, xpad, xpad, *([xpad] * nfar))
+
+
+def bdia_spmm_pallas_slab(sl: BdiaSlabs, x, *,
+                          precision: Optional[str] = None,
+                          out_dtype=None):
+    """``Y = A @ X`` (natural layouts) through the slab MXU kernel.
+    One-shot callers pay the pad/slice copies; chained solvers should
+    use :meth:`BdiaSlabs.to_padded` + :func:`bdia_spmm_slab_padded`."""
+    x = jnp.asarray(x)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    k = int(x.shape[1])
+    xpad = sl.to_padded(x)
+    ypad = bdia_spmm_slab_padded(sl, xpad, precision=precision,
+                                 out_dtype=out_dtype)
+    y = sl.from_padded(ypad, k)
+    return y[:, 0] if squeeze else y

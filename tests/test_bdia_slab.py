@@ -1,0 +1,102 @@
+"""MXU slab SpMM (VERDICT r4 item 3): shear-to-dense formulation must
+match the XLA/scipy ground truth exactly at f64 and to fp at f32, on
+CPU interpret-mode Pallas (same harness as the other kernels)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cask_tpu.formats.convert import csr_to_bsr, to_scipy
+from cask_tpu.formats.generate import fem_blocks
+from cask_tpu.ops.bdia import bdia_plan
+from cask_tpu.ops.pallas.bdia_slab import (
+    bdia_slab_ok,
+    bdia_slab_plan,
+    bdia_spmm_pallas_slab,
+    bdia_spmm_slab_padded,
+)
+
+
+def _plan(nx, dof=4, dtype=np.float64, seed=0):
+    a = fem_blocks(nx, dof=dof, dtype=dtype, seed=seed, return_bsr=True)
+    return bdia_plan(a, (dof, dof)), to_scipy(a)
+
+
+class TestSlabPlan:
+    def test_ok_gate(self):
+        p, _ = _plan(16)
+        assert bdia_slab_ok(p, 8)  # far offset 16 = 2 tiles
+        assert bdia_slab_ok(p, 16)
+        assert not bdia_slab_ok(p, 12)  # 16 % 12 != 0
+        with pytest.raises(ValueError, match="slab-eligible"):
+            bdia_slab_plan(p, 12)
+
+    def test_geometry(self):
+        p, _ = _plan(16, dof=4)
+        sl = bdia_slab_plan(p, 8)
+        assert sl.far_offsets == (-16, 16)
+        assert sl.gb_r == sl.gb_c == 32
+        assert sl.width == 2 * 4 + 32 * 3
+        assert sl.halo.shape == (sl.ntiles * 32, 8)
+        assert sl.core.shape == (sl.ntiles * 32, 32)
+        assert len(sl.fars) == 2
+        assert all(f.shape == (sl.ntiles * 32, 32) for f in sl.fars)
+        assert sl.pad_tiles == 2
+
+    @pytest.mark.parametrize("g", [4, 8, 16])
+    def test_spmm_exact_f64(self, g):
+        p, s = _plan(16, dof=4)
+        sl = bdia_slab_plan(p, g)
+        X = np.random.default_rng(1).standard_normal((p.shape[1], 8))
+        Y = np.asarray(bdia_spmm_pallas_slab(sl, jnp.asarray(X)))
+        np.testing.assert_allclose(Y, s @ X, rtol=1e-12, atol=1e-12)
+
+    def test_spmv_vector_and_dof2(self):
+        p, s = _plan(12, dof=2, seed=3)
+        sl = bdia_slab_plan(p, 4)
+        x = np.random.default_rng(2).standard_normal(p.shape[1])
+        y = np.asarray(bdia_spmm_pallas_slab(sl, jnp.asarray(x)))
+        np.testing.assert_allclose(y, s @ x, rtol=1e-12, atol=1e-12)
+
+    def test_f32_class(self):
+        p, s = _plan(16, dof=4, dtype=np.float32, seed=4)
+        sl = bdia_slab_plan(p, 8)
+        X = np.random.default_rng(4).standard_normal(
+            (p.shape[1], 16)).astype(np.float32)
+        Y = np.asarray(bdia_spmm_pallas_slab(sl, jnp.asarray(X)))
+        np.testing.assert_allclose(Y, s @ X, rtol=1e-5, atol=1e-4)
+
+    def test_bf16_slabs_promote_f32_out(self):
+        p, s = _plan(12, dof=4, dtype=np.float32, seed=5)
+        sl = bdia_slab_plan(p, 4, dtype=jnp.bfloat16)
+        X = np.random.default_rng(5).standard_normal(
+            (p.shape[1], 8)).astype(np.float32)
+        Y = bdia_spmm_pallas_slab(sl, jnp.asarray(X))
+        assert Y.dtype == jnp.float32
+        rel = np.abs(np.asarray(Y) - s @ X).max() / np.abs(s @ X).max()
+        assert rel < 0.05  # bf16-class
+
+    def test_padded_chain_endomorphic(self):
+        # the zero-copy solver layout: two chained applications equal A@(A@x)
+        p, s = _plan(16, dof=4)
+        sl = bdia_slab_plan(p, 8)
+        x = np.random.default_rng(6).standard_normal((p.shape[1], 8))
+        xp = sl.to_padded(jnp.asarray(x))
+        y1 = bdia_spmm_slab_padded(sl, xp)
+        assert y1.shape == xp.shape and y1.dtype == xp.dtype
+        y2 = bdia_spmm_slab_padded(sl, y1)
+        np.testing.assert_allclose(np.asarray(sl.from_padded(y2, 8)),
+                                   s @ (s @ x), rtol=1e-12, atol=1e-10)
+
+    def test_matches_device_gen(self):
+        # the bench matrix builder and the plan-built slabs agree
+        from cask_tpu.formats.device_gen import fem_bdia_device
+
+        plan = fem_bdia_device(16, dof=4, dtype=jnp.float64)
+        sl = bdia_slab_plan(plan, 8)
+        x = np.random.default_rng(7).standard_normal(plan.shape[1])
+        y = np.asarray(bdia_spmm_pallas_slab(sl, jnp.asarray(x)))
+        y_ref = np.asarray(plan._spmv_xla(jnp.asarray(x)))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12)
