@@ -36,9 +36,60 @@ SEED_EQUIV_BYTES: Dict[str, float] = {
     "poh_fast:8192": 1200.0,
     "poh_mm": 130.0,
     "poh_mm_fast": 80.0,
+    # column window of the matrix the :2048 constants were measured on
+    # (probe_poh7's 50k d12 power law → auto C = 4096); anchors the
+    # window-aware power law below
+    "_c_ref": 4096.0,
 }
 
 HBM_BYTES_PER_S = 819e9  # v5e spec; roofline reference for equiv-bytes
+
+# Window-aware analytic cost model (VERDICT r4 next-4).  probe_poh7
+# measured the per-slot cost growing superlinearly with the auto-sized
+# column window C: 0.39 ns/slot at C=4096 (T=2048) vs 1.49 at C=8192
+# (T=8192) on the same matrix — a 3.8x jump for 2x window, i.e.
+# eb_slot(C) = base · (C / C_ref)^alpha with alpha = log2(3.8) ≈ 1.93
+# (the window pick + gather-dot VPU passes scale with C, and bigger
+# windows also lengthen the per-slot-row select chains).  The per-TILE
+# overhead term separates the regular-pack regime: when both tile sizes
+# hit the same window (the 8192 cap, e.g. AMG tentative packs at 1M
+# rows), per-slot costs tie and fewer/bigger tiles win — probe_amg7
+# measured T=8192 ~10 % better there, which fixes POH_TILE_EQUIV.
+POH_ALPHA = 1.93
+POH_TILE_EQUIV = 6000.0  # equiv bytes per tile (probe_amg7 fit)
+POH_FILL = 0.9           # typical packed-slot fill (probe_poh1-4: 0.85-0.99)
+
+
+def poh_auto_window(m: int, n: int, nnz: int, tile_slots: int,
+                    row_panel: int = 4096) -> int:
+    """Replicate :func:`poh_kernels.poh_plan`'s auto ``col_window`` C —
+    the prefilter must cost the plan that will actually be built, not an
+    idealized one (floors and the 8192 cap included)."""
+    lane = 128
+    R = max(-(-row_panel // lane) * lane, lane)
+    R = max(min(R, max(-(-max(m, 1) // lane) * lane, lane)), 8 * lane)
+    nnz_per_panel = max(nnz * R / max(m, 1), 1.0)
+    span = tile_slots * max(n, 1) / nnz_per_panel
+    c = 128
+    while c < min(span, 8192):
+        c *= 2
+    return max(c, 8 * lane)
+
+
+def poh_equiv_bytes_analytic(m: int, n: int, nnz: int, tile_slots: int, *,
+                             fast: bool = False,
+                             calib: Optional[Dict[str, float]] = None) -> float:
+    """Per-nnz time-equivalent bytes for a ``poh[:T]`` variant, derived
+    from the matrix STRUCTURE (auto window + tile count) instead of one
+    fixed constant per tile size — so the prefilter ranks ``:2048`` vs
+    ``:8192`` per matrix without timing both."""
+    calib = calib or poh_equiv_bytes()
+    key = "poh_fast:2048" if fast else "poh:2048"
+    base = float(calib.get(key, SEED_EQUIV_BYTES[key]))
+    c_ref = float(calib.get("_c_ref", SEED_EQUIV_BYTES["_c_ref"]))
+    c = poh_auto_window(m, n, nnz, tile_slots)
+    eb_slot = base * (c / c_ref) ** POH_ALPHA
+    return (eb_slot + POH_TILE_EQUIV / tile_slots) / POH_FILL
 
 
 def backend_kind() -> str:
@@ -120,6 +171,9 @@ def calibrate_poh(cache: Optional[TunerCache] = None, *, n: int = 30_000,
             m4 = measure(lambda v, d=dev: d.spmm(v, precision="fast"), xk)
             record("poh_mm_fast", m4.seconds_per_iter, slots, kk=k)
 
+    # anchor window for the analytic model: the probe matrix's own auto
+    # C at T=2048 (a calibrated backend's base constant is tied to it)
+    results["_c_ref"] = float(poh_auto_window(n, n, int(a.nnz), 2048))
     cache.put(_key(), {"equiv_bytes": results, "n": n,
                        "avg_degree": avg_degree, "k": k})
     return poh_equiv_bytes(cache)

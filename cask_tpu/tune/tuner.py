@@ -222,12 +222,20 @@ def enumerate_variants(a: CSR, sig: Signature, k: Optional[int],
 
         calib = poh_equiv_bytes()
     if include_pallas and k is None and db <= 4:
-        out.append(Variant("poh", nnz * calib["poh:2048"] + xbytes))
-        out.append(Variant("poh_fast:2048",
-                           nnz * calib.get("poh_fast:2048",
-                                           calib["poh:2048"]) + xbytes))
-        out.append(Variant("poh:8192", nnz * calib["poh:8192"] + xbytes))
-        out.append(Variant("poh_fast:8192", nnz * calib["poh_fast:8192"] + xbytes))
+        # window-aware analytic cost (VERDICT r4 next-4): per-slot cost
+        # follows the AUTO column window the plan will pick for this
+        # matrix at each tile size, plus a per-tile overhead — the
+        # prefilter ranks :2048 vs :8192 from structure alone
+        # (calibrate.poh_equiv_bytes_analytic; probe_poh7/probe_amg7)
+        from cask_tpu.tune.calibrate import poh_equiv_bytes_analytic
+
+        for ts, names in ((2048, ("poh", "poh_fast:2048")),
+                          (8192, ("poh:8192", "poh_fast:8192"))):
+            eb_s = poh_equiv_bytes_analytic(m, n, nnz, ts, calib=calib)
+            eb_f = poh_equiv_bytes_analytic(m, n, nnz, ts, fast=True,
+                                            calib=calib)
+            out.append(Variant(names[0], nnz * eb_s + xbytes))
+            out.append(Variant(names[1], nnz * eb_f + xbytes))
     if include_pallas and k is not None and k <= 64 and db <= 4:
         # SpMM twin: one-hots amortize over k columns
         out.append(Variant("poh_mm", nnz * calib["poh_mm"] * kk + xbytes))

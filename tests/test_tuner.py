@@ -231,7 +231,87 @@ class TestCalibration:
         vs = enumerate_variants(a32, signature(a32), None,
                                 include_pallas=True, calib=cheap)
         best = min(vs, key=lambda v: v.est_bytes)
-        assert best.name == "poh"
+        # the analytic model may pick either tile size at this scale;
+        # the calibrated POH family must outrank every other variant
+        assert best.name.split(":")[0] == "poh"
+
+
+class TestAnalyticPohCost:
+    """Window-aware prefilter cost (VERDICT r4 next-4): the probe_poh7 /
+    probe_amg7 orderings must fall out of matrix STRUCTURE alone."""
+
+    def test_auto_window_matches_plan(self):
+        # the analytic C must equal what poh_plan actually builds
+        from cask_tpu.ops.pallas.poh_kernels import poh_plan
+        from cask_tpu.tune.calibrate import poh_auto_window
+
+        for n_, deg, ts in ((3000, 6, 2048), (8000, 12, 2048),
+                            (3000, 6, 8192)):
+            a = power_law(n_, avg_degree=deg, seed=1).astype(np.float32)
+            p = poh_plan(a, tile_slots=ts)
+            assert poh_auto_window(a.shape[0], a.shape[1], a.nnz, ts) \
+                == p.col_window
+
+    def test_scattered_prefers_2048(self):
+        # probe_poh7's 50k d12 power law: auto C is 4096 at T=2048 but
+        # 8192 at T=8192 → the small tile must cost less per nnz
+        from cask_tpu.tune.calibrate import (
+            poh_auto_window,
+            poh_equiv_bytes_analytic,
+        )
+
+        m = n = 50_000
+        nnz = 599_940
+        assert poh_auto_window(m, n, nnz, 2048) == 4096
+        assert poh_auto_window(m, n, nnz, 8192) == 8192
+        assert poh_equiv_bytes_analytic(m, n, nnz, 2048) \
+            < poh_equiv_bytes_analytic(m, n, nnz, 8192)
+
+    def test_regular_tent_prefers_8192(self):
+        # probe_amg7's regime: a tall 1-nnz/row tentative pack at AMG
+        # scale hits the 8192 window cap at BOTH tile sizes, so per-slot
+        # costs tie and the per-tile overhead favors big tiles
+        from cask_tpu.tune.calibrate import (
+            poh_auto_window,
+            poh_equiv_bytes_analytic,
+        )
+
+        m, n, nnz = 1_200_000, 400_000, 1_200_000
+        assert poh_auto_window(m, n, nnz, 2048) == 8192
+        assert poh_auto_window(m, n, nnz, 8192) == 8192
+        assert poh_equiv_bytes_analytic(m, n, nnz, 8192) \
+            < poh_equiv_bytes_analytic(m, n, nnz, 2048)
+
+    def test_anchors_reproduce_r4_seeds(self):
+        # at the reference structure the power law must reproduce the
+        # measured seed constants (probe_poh7: 320 at C=4096, ~1220 at
+        # C=8192) — the model interpolates BETWEEN measurements, it does
+        # not replace them
+        from cask_tpu.tune.calibrate import (
+            POH_FILL,
+            POH_TILE_EQUIV,
+            SEED_EQUIV_BYTES,
+            poh_equiv_bytes_analytic,
+        )
+
+        m = n = 50_000
+        nnz = 599_940
+        eb2 = poh_equiv_bytes_analytic(m, n, nnz, 2048) * POH_FILL \
+            - POH_TILE_EQUIV / 2048
+        eb8 = poh_equiv_bytes_analytic(m, n, nnz, 8192) * POH_FILL \
+            - POH_TILE_EQUIV / 8192
+        assert abs(eb2 - SEED_EQUIV_BYTES["poh:2048"]) / 320.0 < 0.02
+        assert abs(eb8 - SEED_EQUIV_BYTES["poh:8192"]) / 1220.0 < 0.05
+
+    def test_prefilter_orders_tiles_from_structure(self):
+        # end-to-end through enumerate_variants on a genuinely scattered
+        # matrix: the :2048 family must outrank :8192
+        a = power_law(20_000, avg_degree=12, seed=9).astype(np.float32)
+        vs = {v.name: v.est_bytes
+              for v in enumerate_variants(a, signature(a), None,
+                                          include_pallas=True)}
+        assert vs["poh"] < vs["poh:8192"]
+        assert vs["poh_fast:2048"] < vs["poh_fast:8192"]
 
 
 class TestReorderedApi:
