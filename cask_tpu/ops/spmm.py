@@ -87,6 +87,19 @@ def spmm(a, x, *, transpose: bool = False, method: str = "auto",
         raise ValueError(f"unknown spmm method {method!r}")
 
     if isinstance(a, CSR):
+        if method == "auto" and not transpose and accum_dtype is None:
+            # banded CSR rides the same cached DIA plan as spmv(csr, x)
+            # (one plan per instance serves both ops); the DIA dispatch
+            # picks the kt kernel at k <= 64 on TPU
+            import importlib
+
+            spmv_mod = importlib.import_module("cask_tpu.ops.spmv")
+            from cask_tpu.utils.platform import on_tpu
+
+            if on_tpu() or spmv_mod._AUTO_BSR_PLAN_FORCE:
+                plan = spmv_mod._dia_auto_plan(a)
+                if plan is not None:
+                    return spmm(plan, x)
         return _spmm_xla_csr(a, x, transpose, accum_dtype)
     if isinstance(a, COO):
         return _spmm_xla_coo(a, x, transpose, accum_dtype)

@@ -263,3 +263,47 @@ class TestBsrSpmmAutoPlanRoute:
 
         _spmv(b, X[:, 0])
         assert b._bdia_auto_plan is plan
+
+
+class TestCsrSpmmAutoRoute:
+    """spmm(csr, X) rides the same cached DIA plan as spmv(csr, x)."""
+
+    def test_banded_csr_routes_through_plan(self, monkeypatch):
+        import importlib
+
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.formats.generate import banded
+
+        spmv_mod = importlib.import_module("cask_tpu.ops.spmv")
+        monkeypatch.setattr(spmv_mod, "_AUTO_BSR_PLAN_FORCE", True)
+        a = banded(500, 4, seed=31)
+        X = np.random.default_rng(31).standard_normal((a.shape[1], 8))
+        Y = np.asarray(spmm(a, jnp.asarray(X)))
+        plan = getattr(a, "_dia_auto_plan", None)
+        assert plan is not None, "banded CSR spmm must take the plan route"
+        np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-10, atol=1e-10)
+        # same instance-memoized plan serves spmv too
+        from cask_tpu import spmv
+
+        y = np.asarray(spmv(a, jnp.asarray(X[:, 0])))
+        assert a._dia_auto_plan is plan
+        np.testing.assert_allclose(y, to_scipy(a) @ X[:, 0],
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_unstructured_declines(self, monkeypatch):
+        import importlib
+
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.formats.generate import power_law
+
+        spmv_mod = importlib.import_module("cask_tpu.ops.spmv")
+        monkeypatch.setattr(spmv_mod, "_AUTO_BSR_PLAN_FORCE", True)
+        a = power_law(400, avg_degree=5, seed=32)
+        X = np.random.default_rng(32).standard_normal((a.shape[1], 4))
+        Y = np.asarray(spmm(a, jnp.asarray(X)))
+        assert getattr(a, "_dia_auto_plan", "missing") is None
+        np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-10, atol=1e-10)
