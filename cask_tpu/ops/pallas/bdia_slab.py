@@ -131,9 +131,12 @@ class BdiaSlabs:
 
 def bdia_slab_ok(a: "_bdia.BdiaMatrix", g: int = 16) -> bool:
     """Can this plan take the slab MXU path?  Near offsets must be
-    |d| ≤ 1 (one-block halo) and every far offset a multiple of ``g``
-    (whole-tile BlockSpec shifts)."""
-    if a.nb_pad % g:
+    |d| ≤ 1 (one-block halo), every far offset a multiple of ``g``
+    (whole-tile BlockSpec shifts), and the tile geometry must clear the
+    Mosaic sublane floors (≥ 8 rows per block view)."""
+    br, bc = a.blocksize
+    hb = max(8, bc)
+    if a.nb_pad % g or (g * br) % 8 or hb % bc or (g * bc) % hb:
         return False
     for d in a.block_offsets:
         if abs(d) > 1 and d % g:
@@ -191,9 +194,11 @@ def bdia_slab_plan(a: "_bdia.BdiaMatrix", g: int = 16,
     )
 
 
-def _slab_kernel(bc, nfar, p0t, ntiles, acc_dtype, precision, interpret,
+def _slab_kernel(bc, hb, nfar, p0t, ntiles, acc_dtype, precision, interpret,
                  sh_ref, sc_ref, *rest):
-    # rest = (*far slab refs, xpre, xpost, xcore, *xfar, o_ref)
+    # rest = (*far slab refs, xpre, xpost, xcore, *xfar, o_ref); the
+    # pre/post halo views are hb-row blocks (Mosaic needs >= 8 sublanes
+    # per block) holding the bc boundary rows at their tail/head
     sf_refs = rest[:nfar]
     xpre_ref, xpost_ref, xc_ref = rest[nfar : nfar + 3]
     xf_refs = rest[nfar + 3 : 2 * nfar + 3]
@@ -214,7 +219,8 @@ def _slab_kernel(bc, nfar, p0t, ntiles, acc_dtype, precision, interpret,
 
     @pl.when(in_body)
     def _():
-        h = jnp.concatenate([xpre_ref[:], xpost_ref[:]], axis=0)  # (2bc, kp)
+        h = jnp.concatenate([xpre_ref[hb - bc :, :], xpost_ref[:bc, :]],
+                            axis=0)  # (2bc, kp)
         acc = dot(sh_ref[:], h)
         acc = acc + dot(sc_ref[:], xc_ref[:])
         for fi in range(nfar):
@@ -244,7 +250,14 @@ def bdia_spmm_slab_padded(sl: BdiaSlabs, xpad, *,
         out_dtype = jnp.promote_types(sl.dtype, xpad.dtype)
         if jnp.bfloat16 in (jnp.dtype(sl.dtype), jnp.dtype(xpad.dtype)):
             out_dtype = jnp.promote_types(out_dtype, jnp.float32)
-    nblk = total * g  # bc-row halo blocks in the padded frame
+    # halo X views travel as hb-row blocks (Mosaic floor: >= 8 sublanes
+    # per block); the bc boundary rows sit at a static offset inside
+    hb = max(8, bc)
+    if hb % bc or gb_c % hb:
+        raise ValueError(f"halo block geometry needs bc | 8 and "
+                         f"{hb} | gb_c (bc={bc}, g={g})")
+    nhb = total * gb_c // hb  # hb-row blocks in the padded frame
+    gch = gb_c // hb
 
     def _slab_map(t):
         return (jnp.clip(t - p0t, 0, ntiles - 1), 0)
@@ -262,9 +275,10 @@ def bdia_spmm_slab_padded(sl: BdiaSlabs, xpad, *,
         in_specs.append(pl.BlockSpec((gb_r, gb_c), _slab_map,
                                      memory_space=pltpu.VMEM))
     in_specs += [
-        pl.BlockSpec((bc, kp), lambda t: (jnp.maximum(t * g - 1, 0), 0),
+        pl.BlockSpec((hb, kp), lambda t: (jnp.maximum(t * gch - 1, 0), 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bc, kp), lambda t: (jnp.minimum((t + 1) * g, nblk - 1), 0),
+        pl.BlockSpec((hb, kp),
+                     lambda t: (jnp.minimum((t + 1) * gch, nhb - 1), 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((gb_c, kp), lambda t: (t, 0), memory_space=pltpu.VMEM),
     ]
@@ -273,7 +287,7 @@ def bdia_spmm_slab_padded(sl: BdiaSlabs, xpad, *,
                                      memory_space=pltpu.VMEM))
     acc_dtype = (jnp.float64 if jnp.dtype(out_dtype) == jnp.float64
                  else jnp.float32)
-    kernel = functools.partial(_slab_kernel, bc, nfar, p0t, ntiles,
+    kernel = functools.partial(_slab_kernel, bc, hb, nfar, p0t, ntiles,
                                acc_dtype, precision, _interpret())
     return pl.pallas_call(
         kernel,
