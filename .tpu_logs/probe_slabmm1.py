@@ -51,11 +51,12 @@ X0 = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(0), (n, k),
                                        jnp.float32))()
 
 
-def bench(tag, step, x, attempts=3):
+def bench(tag, step, x, attempts=3, operands=None):
     best = None
     t0 = time.time()
     for _ in range(attempts):
-        ms = measure_chained(step, x, k1=2, k2=10, points=3, repeats=2)
+        ms = measure_chained(step, x, operands=operands,
+                             k1=2, k2=10, points=3, repeats=2)
         if np.isfinite(ms.seconds_per_iter) and (
                 best is None or ms.seconds_per_iter < best.seconds_per_iter):
             best = ms
@@ -84,45 +85,47 @@ jax.block_until_ready(sl16.core)
 Xp0 = jax.jit(sl16.to_padded)(X0)
 
 
-def slab16_norm(V):
-    return norm(bdia_spmm_slab_padded(sl16, V)).astype(V.dtype)
+# slabs ride as TRACED operands: 840 MB of closed-over constants kills
+# the remote compile with HTTP 413 (first probe run died exactly there)
+def slab_norm(V, sl):
+    return norm(bdia_spmm_slab_padded(sl, V)).astype(V.dtype)
 
 
-def slab16_bare(V):
-    return bdia_spmm_slab_padded(sl16, V)
+def slab_bare(V, sl):
+    return bdia_spmm_slab_padded(sl, V)
 
 
-s16 = bench("slab16_f32_norm", slab16_norm, Xp0)
-s16b = bench("slab16_f32_bare", slab16_bare, Xp0)
+s16 = bench("slab16_f32_norm", slab_norm, Xp0, operands=sl16)
+s16b = bench("slab16_f32_bare", slab_bare, Xp0, operands=sl16)
 
 # --- exactness vs ring (device) ------------------------------------------
 @jax.jit
-def err16(X):
-    y1 = sl16.from_padded(bdia_spmm_slab_padded(sl16, sl16.to_padded(X)), k)
+def err16(X, sl):
+    y1 = sl.from_padded(bdia_spmm_slab_padded(sl, sl.to_padded(X)), k)
     y2 = bdia_spmm_pallas_ring(plan, X)
     return jnp.max(jnp.abs(y1 - y2)) / jnp.max(jnp.abs(y2))
 
 
-log(f"slab16 default-precision relerr vs ring: {float(err16(X0)):.3e}")
+log(f"slab16 default-precision relerr vs ring: {float(err16(X0, sl16)):.3e}")
 
 # --- slab G=16 f32 HIGHEST (exact-class; 6-pass MXU) ----------------------
-def slab16_hi_norm(V):
-    return norm(bdia_spmm_slab_padded(sl16, V,
+def slab_hi_norm(V, sl):
+    return norm(bdia_spmm_slab_padded(sl, V,
                                       precision="highest")).astype(V.dtype)
 
 
 try:
-    s16h = bench("slab16_f32_highest_norm", slab16_hi_norm, Xp0)
+    s16h = bench("slab16_f32_highest_norm", slab_hi_norm, Xp0, operands=sl16)
 
     @jax.jit
-    def err16h(X):
-        y1 = sl16.from_padded(
-            bdia_spmm_slab_padded(sl16, sl16.to_padded(X),
+    def err16h(X, sl):
+        y1 = sl.from_padded(
+            bdia_spmm_slab_padded(sl, sl.to_padded(X),
                                   precision="highest"), k)
         y2 = bdia_spmm_pallas_ring(plan, X)
         return jnp.max(jnp.abs(y1 - y2)) / jnp.max(jnp.abs(y2))
 
-    log(f"slab16 HIGHEST relerr vs ring: {float(err16h(X0)):.3e}")
+    log(f"slab16 HIGHEST relerr vs ring: {float(err16h(X0, sl16)):.3e}")
 except Exception as e:  # noqa: BLE001
     log(f"highest-precision slab variant failed: {type(e).__name__}: {e}")
 
@@ -132,12 +135,12 @@ sl16b = bdia_slab_plan(plan, 16, dtype=jnp.bfloat16)
 jax.block_until_ready(sl16b.core)
 
 
-def slab16bf_norm(V):
-    return norm(bdia_spmm_slab_padded(sl16b, V,
+def slab_bf_norm(V, sl):
+    return norm(bdia_spmm_slab_padded(sl, V,
                                       out_dtype=jnp.float32)).astype(V.dtype)
 
 
-bench("slab16_bf16slab_norm", slab16bf_norm, Xp0)
+bench("slab16_bf16slab_norm", slab_bf_norm, Xp0, operands=sl16b)
 
 # --- slab G=8 f32 ---------------------------------------------------------
 log("building slab plan G=8 f32...")
@@ -146,10 +149,6 @@ jax.block_until_ready(sl8.core)
 Xp8 = jax.jit(sl8.to_padded)(X0)
 
 
-def slab8_norm(V):
-    return norm(bdia_spmm_slab_padded(sl8, V)).astype(V.dtype)
-
-
-bench("slab8_f32_norm", slab8_norm, Xp8)
+bench("slab8_f32_norm", slab_norm, Xp8, operands=sl8)
 
 log("DONE")

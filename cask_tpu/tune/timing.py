@@ -104,7 +104,16 @@ def _iterate_chained(step: Callable, x0, k):
     return jnp.mean(jnp.abs(xk.reshape(-1)[:128]).astype(jnp.float32))
 
 
-def measure_chained(step: Callable, x0, *, k1: int = 20, k2: int = 320,
+def _iterate_chained_ops(step: Callable, x0, ops, k):
+    def body(i, x):
+        return step(x, ops)
+
+    xk = jax.lax.fori_loop(0, k, body, x0)
+    return jnp.mean(jnp.abs(xk.reshape(-1)[:128]).astype(jnp.float32))
+
+
+def measure_chained(step: Callable, x0, *, operands=None,
+                    k1: int = 20, k2: int = 320,
                     points: int = 4, repeats: int = 2,
                     tol_rel: float = 0.25) -> Measurement:
     """Timing for *endomorphic* steps (``step: x → x``-shaped).
@@ -118,14 +127,29 @@ def measure_chained(step: Callable, x0, *, k1: int = 20, k2: int = 320,
     estimate (measured: large-k slopes read ~25% high, SURVEY-class
     pathology).  The caller must supply a step that is numerically
     stable under composition (e.g. a spectrally scaled SpMV).
+
+    ``operands``: optional pytree passed to ``step(x, operands)`` as a
+    TRACED argument.  Plans beyond ~100 MB must ride here, not in the
+    step's closure: closed-over arrays become compile-time constants
+    and the axon remote-compile relay rejects the oversized request
+    body outright (HTTP 413 — probe_fused3's 512 MB X0, and the 840 MB
+    slab plan in probe_slabmm1, both died this way).
     """
     x0 = jnp.asarray(x0)
-    f = jax.jit(_iterate_chained, static_argnums=(0,))
+    if operands is None:
+        f = jax.jit(_iterate_chained, static_argnums=(0,))
 
-    def run(k):
-        t0 = time.perf_counter()
-        val = float(f(step, x0, jnp.int32(k)))
-        return time.perf_counter() - t0, val
+        def run(k):
+            t0 = time.perf_counter()
+            val = float(f(step, x0, jnp.int32(k)))
+            return time.perf_counter() - t0, val
+    else:
+        f = jax.jit(_iterate_chained_ops, static_argnums=(0,))
+
+        def run(k):
+            t0 = time.perf_counter()
+            val = float(f(step, x0, operands, jnp.int32(k)))
+            return time.perf_counter() - t0, val
 
     ks = [int(round(k1 + (k2 - k1) * i / (points - 1))) for i in range(points)]
     run(ks[0])  # compile + warm

@@ -544,3 +544,23 @@ class TestTunePrecisionConstraint:
 
         with pytest.raises(ValueError):
             tune(stencil_2d(8), cache=tmp_tuner_cache, precision="bf16")
+
+
+class TestMeasureChainedOperands:
+    def test_operands_ride_as_traced_args(self):
+        # plans beyond ~100 MB must be traced operands, not closure
+        # constants (the axon relay 413s oversized compile requests);
+        # the operands mode must measure and thread the pytree through
+        import jax.numpy as jnp
+
+        from cask_tpu.tune.timing import measure_chained
+
+        w = jnp.full((64,), 0.5, jnp.float32)
+        x0 = jnp.ones((64,), jnp.float32)
+        ms = measure_chained(lambda x, ops: x * ops["w"] + ops["b"], x0,
+                             operands={"w": w,
+                                       "b": jnp.zeros((64,), jnp.float32)},
+                             k1=2, k2=8, points=2, repeats=1)
+        assert np.isfinite(ms.seconds_per_iter)
+        # checksum reflects the chained composition (0.5^k decay)
+        assert 0.0 < ms.checksum < 1.0
