@@ -555,12 +555,13 @@ class TestMeasureChainedOperands:
 
         from cask_tpu.tune.timing import measure_chained
 
-        w = jnp.full((64,), 0.5, jnp.float32)
-        x0 = jnp.ones((64,), jnp.float32)
+        n = 1 << 20  # big enough that the ladder slope beats CPU noise
+        w = jnp.full((n,), 0.5, jnp.float32)
+        x0 = jnp.ones((n,), jnp.float32)
         ms = measure_chained(lambda x, ops: x * ops["w"] + ops["b"], x0,
                              operands={"w": w,
-                                       "b": jnp.zeros((64,), jnp.float32)},
-                             k1=2, k2=8, points=2, repeats=1)
+                                       "b": jnp.zeros((n,), jnp.float32)},
+                             k1=2, k2=32, points=3, repeats=2)
         assert np.isfinite(ms.seconds_per_iter)
         # checksum reflects the chained composition (0.5^k decay)
         assert 0.0 < ms.checksum < 1.0
