@@ -152,3 +152,11 @@ Xp8 = jax.jit(sl8.to_padded)(X0)
 bench("slab8_f32_norm", slab_norm, Xp8, operands=sl8)
 
 log("DONE")
+
+# --- slab G=32 f32 (full-MXU sub-dots; tests the dot-issue bound) ---------
+log("building slab plan G=32 f32...")
+sl32 = bdia_slab_plan(plan, 32)
+jax.block_until_ready(sl32.core)
+Xp32 = jax.jit(sl32.to_padded)(X0)
+bench("slab32_f32_norm", slab_norm, Xp32, operands=sl32)
+log("DONE2")

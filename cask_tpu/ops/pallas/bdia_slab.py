@@ -101,13 +101,25 @@ class BdiaSlabs:
         return self.core.dtype
 
     @property
+    def gg_align(self) -> int:
+        """Largest power-of-2 super-tile factor (≤ 32) dividing the tile
+        count — the padded layout is aligned to it so ANY smaller
+        power-of-2 ``gg`` can be chosen per call without re-padding."""
+        gg = 1
+        while gg < 32 and self.ntiles % (gg * 2) == 0 \
+                and gg * 2 <= max(1, self.ntiles // 4):
+            gg *= 2
+        return gg
+
+    @property
     def pad_tiles(self) -> int:
         """Zero tiles on each side of the padded X/Y layout (covers the
-        farthest offset, rounded up to whole tiles)."""
+        farthest offset, rounded up to whole super-tiles)."""
         if not self.far_offsets:
             return 0
         m = max(abs(d) for d in self.far_offsets)
-        return -(-m // self.g)
+        ga = self.gg_align
+        return -(-(-(-m // self.g)) // ga) * ga
 
     # -- padded chain layout ---------------------------------------------
 
@@ -194,17 +206,22 @@ def bdia_slab_plan(a: "_bdia.BdiaMatrix", g: int = 16,
     )
 
 
-def _slab_kernel(bc, hb, nfar, p0t, ntiles, acc_dtype, precision, interpret,
-                 sh_ref, sc_ref, *rest):
+def _slab_kernel(bc, hb, gb_r, gb_c, gg, nfar, p0s, nsup, acc_dtype,
+                 precision, interpret, sh_ref, sc_ref, *rest):
+    # One grid step processes a SUPER-tile of gg G-tiles: the ~0.4 µs
+    # fixed cost per Pallas grid step dominated the flat (ntiles,) grid
+    # (probe_slabmm1c: 16448 steps ≈ 8 ms of pure step overhead), so
+    # sub-tile dots unroll in-body over big BlockSpec windows instead.
     # rest = (*far slab refs, xpre, xpost, xcore, *xfar, o_ref); the
     # pre/post halo views are hb-row blocks (Mosaic needs >= 8 sublanes
-    # per block) holding the bc boundary rows at their tail/head
+    # per block) holding the bc boundary rows at their tail/head;
+    # interior sub-tile halos are sliced straight from the core window.
     sf_refs = rest[:nfar]
     xpre_ref, xpost_ref, xc_ref = rest[nfar : nfar + 3]
     xf_refs = rest[nfar + 3 : 2 * nfar + 3]
     o_ref = rest[2 * nfar + 3]
-    t = pl.program_id(0)
-    in_body = (t >= p0t) & (t < p0t + ntiles)
+    s = pl.program_id(0)
+    in_body = (s >= p0s) & (s < p0s + nsup)
 
     dot = functools.partial(
         jax.lax.dot_general,
@@ -219,21 +236,53 @@ def _slab_kernel(bc, hb, nfar, p0t, ntiles, acc_dtype, precision, interpret,
 
     @pl.when(in_body)
     def _():
-        h = jnp.concatenate([xpre_ref[hb - bc :, :], xpost_ref[:bc, :]],
-                            axis=0)  # (2bc, kp)
-        acc = dot(sh_ref[:], h)
-        acc = acc + dot(sc_ref[:], xc_ref[:])
-        for fi in range(nfar):
-            acc = acc + dot(sf_refs[fi][:], xf_refs[fi][:])
-        o_ref[:] = acc.astype(o_ref.dtype)
+        for j in range(gg):
+            r0, c0 = j * gb_r, j * gb_c
+            pre = (xpre_ref[hb - bc :, :] if j == 0
+                   else xc_ref[c0 - bc : c0, :])
+            post = (xpost_ref[:bc, :] if j == gg - 1
+                    else xc_ref[c0 + gb_c : c0 + gb_c + bc, :])
+            h = jnp.concatenate([pre, post], axis=0)  # (2bc, kp)
+            acc = dot(sh_ref[r0 : r0 + gb_r], h)
+            acc = acc + dot(sc_ref[r0 : r0 + gb_r], xc_ref[c0 : c0 + gb_c])
+            for fi in range(nfar):
+                acc = acc + dot(sf_refs[fi][r0 : r0 + gb_r],
+                                xf_refs[fi][c0 : c0 + gb_c])
+            o_ref[r0 : r0 + gb_r] = acc.astype(o_ref.dtype)
+
+
+_VMEM_STEP_BUDGET = 6 * 1024 * 1024  # per-step operand bytes (x2 buffered)
+
+
+def _pick_gg(sl: BdiaSlabs, kp: int, db_x: int, db_out: int) -> int:
+    """Largest feasible power-of-2 super-tile factor: must divide the
+    layout alignment, shift whole super-tiles for every far offset, and
+    keep the double-buffered per-step operands inside VMEM."""
+    nfar = len(sl.far_offsets)
+    db_s = jnp.dtype(sl.dtype).itemsize
+    gg = sl.gg_align
+    while gg > 1:
+        step_bytes = (gg * sl.gb_r * (2 * sl.blocksize[1]
+                                      + (1 + nfar) * sl.gb_c) * db_s
+                      + (1 + nfar) * gg * sl.gb_c * kp * db_x
+                      + gg * sl.gb_r * kp * db_out)
+        if step_bytes <= _VMEM_STEP_BUDGET and \
+                all(d % (sl.g * gg) == 0 for d in sl.far_offsets):
+            break
+        gg //= 2
+    return gg
 
 
 def bdia_spmm_slab_padded(sl: BdiaSlabs, xpad, *,
+                          gg: Optional[int] = None,
                           precision: Optional[str] = None,
                           out_dtype=None):
     """``Ypad = A @ Xpad`` in the zero-padded chain layout (square blocks:
     output layout == input layout, so solver iterations chain with no
-    pad/slice copies — the measurement discipline of SURVEY §8.2)."""
+    pad/slice copies — the measurement discipline of SURVEY §8.2).
+
+    ``gg``: G-tiles per grid step (default: largest feasible power of 2).
+    """
     br, bc = sl.blocksize
     if br != bc:
         raise ValueError("padded slab chain layout needs square blocks")
@@ -250,6 +299,18 @@ def bdia_spmm_slab_padded(sl: BdiaSlabs, xpad, *,
         out_dtype = jnp.promote_types(sl.dtype, xpad.dtype)
         if jnp.bfloat16 in (jnp.dtype(sl.dtype), jnp.dtype(xpad.dtype)):
             out_dtype = jnp.promote_types(out_dtype, jnp.float32)
+    if gg is None:
+        gg = _pick_gg(sl, kp, jnp.dtype(xpad.dtype).itemsize,
+                      jnp.dtype(out_dtype).itemsize)
+    if sl.gg_align % gg or p0t % gg or ntiles % gg:
+        raise ValueError(f"gg={gg} must divide the layout alignment "
+                         f"(gg_align={sl.gg_align}, pad={p0t})")
+    for d in sl.far_offsets:
+        if d % (g * gg):
+            raise ValueError(f"far offset {d} not a multiple of g*gg="
+                             f"{g * gg}; pass a smaller gg")
+    p0s, nsup = p0t // gg, ntiles // gg
+    tot_s = p0s + nsup + p0s
     # halo X views travel as hb-row blocks (Mosaic floor: >= 8 sublanes
     # per block); the bc boundary rows sit at a static offset inside
     hb = max(8, bc)
@@ -257,43 +318,45 @@ def bdia_spmm_slab_padded(sl: BdiaSlabs, xpad, *,
         raise ValueError(f"halo block geometry needs bc | 8 and "
                          f"{hb} | gb_c (bc={bc}, g={g})")
     nhb = total * gb_c // hb  # hb-row blocks in the padded frame
-    gch = gb_c // hb
+    sch = gg * gb_c // hb  # hb-blocks per super-tile
 
-    def _slab_map(t):
-        return (jnp.clip(t - p0t, 0, ntiles - 1), 0)
+    def _slab_map(s):
+        return (jnp.clip(s - p0s, 0, nsup - 1), 0)
 
     def _far_map(sh):
-        def m(t):
-            return (jnp.clip(t + sh, 0, total - 1), 0)
+        def m(s):
+            return (jnp.clip(s + sh, 0, tot_s - 1), 0)
         return m
 
     in_specs = [
-        pl.BlockSpec((gb_r, 2 * bc), _slab_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((gb_r, gb_c), _slab_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((gg * gb_r, 2 * bc), _slab_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gg * gb_r, gb_c), _slab_map, memory_space=pltpu.VMEM),
     ]
     for _ in sl.far_offsets:
-        in_specs.append(pl.BlockSpec((gb_r, gb_c), _slab_map,
+        in_specs.append(pl.BlockSpec((gg * gb_r, gb_c), _slab_map,
                                      memory_space=pltpu.VMEM))
     in_specs += [
-        pl.BlockSpec((hb, kp), lambda t: (jnp.maximum(t * gch - 1, 0), 0),
+        pl.BlockSpec((hb, kp), lambda s: (jnp.maximum(s * sch - 1, 0), 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((hb, kp),
-                     lambda t: (jnp.minimum((t + 1) * gch, nhb - 1), 0),
+                     lambda s: (jnp.minimum((s + 1) * sch, nhb - 1), 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((gb_c, kp), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((gg * gb_c, kp), lambda s: (s, 0),
+                     memory_space=pltpu.VMEM),
     ]
     for d in sl.far_offsets:
-        in_specs.append(pl.BlockSpec((gb_c, kp), _far_map(d // g),
+        in_specs.append(pl.BlockSpec((gg * gb_c, kp), _far_map(d // (g * gg)),
                                      memory_space=pltpu.VMEM))
     acc_dtype = (jnp.float64 if jnp.dtype(out_dtype) == jnp.float64
                  else jnp.float32)
-    kernel = functools.partial(_slab_kernel, bc, hb, nfar, p0t, ntiles,
-                               acc_dtype, precision, _interpret())
+    kernel = functools.partial(_slab_kernel, bc, hb, gb_r, gb_c, gg, nfar,
+                               p0s, nsup, acc_dtype, precision, _interpret())
     return pl.pallas_call(
         kernel,
-        grid=(total,),
+        grid=(tot_s,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((gb_r, kp), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((gg * gb_r, kp), lambda s: (s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((total * gb_r, kp), out_dtype),
         interpret=_interpret(),

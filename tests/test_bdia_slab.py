@@ -43,7 +43,10 @@ class TestSlabPlan:
         assert sl.core.shape == (sl.ntiles * 32, 32)
         assert len(sl.fars) == 2
         assert all(f.shape == (sl.ntiles * 32, 32) for f in sl.fars)
-        assert sl.pad_tiles == 2
+        # padding rounds up to the super-tile alignment (ntiles=128 at
+        # this plan's nb_pad=1024 -> gg_align 32)
+        assert sl.gg_align == 32
+        assert sl.pad_tiles == 32
 
     @pytest.mark.parametrize("g", [4, 8, 16])
     def test_spmm_exact_f64(self, g):
@@ -77,6 +80,34 @@ class TestSlabPlan:
         assert Y.dtype == jnp.float32
         rel = np.abs(np.asarray(Y) - s @ X).max() / np.abs(s @ X).max()
         assert rel < 0.05  # bf16-class
+
+    @pytest.mark.parametrize("gg", [1, 2])
+    def test_explicit_super_tile_factors(self, gg):
+        # the gg super-tile grid must be bit-identical to gg=1 (the
+        # step-overhead amortization is scheduling, not math)
+        p, s = _plan(16, dof=4)
+        sl = bdia_slab_plan(p, 8)
+        X = np.random.default_rng(8).standard_normal((p.shape[1], 8))
+        xp = sl.to_padded(jnp.asarray(X))
+        y = bdia_spmm_slab_padded(sl, xp, gg=gg)
+        y1 = bdia_spmm_slab_padded(sl, xp, gg=1)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y1))
+        np.testing.assert_allclose(
+            np.asarray(sl.from_padded(y, 8)), s @ X, rtol=1e-12, atol=1e-12)
+
+    def test_gg_validation(self):
+        p, _ = _plan(16, dof=4)
+        sl = bdia_slab_plan(p, 8)
+        xp = sl.to_padded(jnp.zeros((p.shape[1], 1)))
+        with pytest.raises(ValueError, match="gg"):
+            bdia_spmm_slab_padded(sl, xp, gg=3)
+        # far offset 16 at g=8 caps gg at 2: g*gg must divide every d
+        with pytest.raises(ValueError, match="far offset"):
+            bdia_spmm_slab_padded(sl, xp, gg=4)
+        # ... and the auto pick respects the same constraint
+        from cask_tpu.ops.pallas.bdia_slab import _pick_gg
+
+        assert _pick_gg(sl, 128, 8, 8) == 2
 
     def test_padded_chain_endomorphic(self):
         # the zero-copy solver layout: two chained applications equal A@(A@x)
