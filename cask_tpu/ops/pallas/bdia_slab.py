@@ -257,15 +257,24 @@ _VMEM_STEP_BUDGET = 6 * 1024 * 1024  # per-step operand bytes (x2 buffered)
 def _pick_gg(sl: BdiaSlabs, kp: int, db_x: int, db_out: int) -> int:
     """Largest feasible power-of-2 super-tile factor: must divide the
     layout alignment, shift whole super-tiles for every far offset, and
-    keep the double-buffered per-step operands inside VMEM."""
+    keep the double-buffered per-step operands inside VMEM.
+
+    VMEM blocks pad their LANE dimension to 128 — a (rows, 64) slab
+    block occupies (rows, 128) of VMEM (probe_slabmm1d hit the 16 MB
+    scoped limit at exactly 2x the unpadded estimate)."""
     nfar = len(sl.far_offsets)
     db_s = jnp.dtype(sl.dtype).itemsize
+
+    def lanes(w):
+        return -(-w // _LANE) * _LANE
+
     gg = sl.gg_align
     while gg > 1:
-        step_bytes = (gg * sl.gb_r * (2 * sl.blocksize[1]
-                                      + (1 + nfar) * sl.gb_c) * db_s
-                      + (1 + nfar) * gg * sl.gb_c * kp * db_x
-                      + gg * sl.gb_r * kp * db_out)
+        step_bytes = (
+            gg * sl.gb_r * (lanes(2 * sl.blocksize[1])
+                            + (1 + nfar) * lanes(sl.gb_c)) * db_s
+            + (1 + nfar) * gg * sl.gb_c * kp * db_x
+            + gg * sl.gb_r * kp * db_out)
         if step_bytes <= _VMEM_STEP_BUDGET and \
                 all(d % (sl.g * gg) == 0 for d in sl.far_offsets):
             break
