@@ -81,7 +81,7 @@ ring = bench("ring_vpu_norm", ring_step, X0)
 # --- slab G=16 f32 --------------------------------------------------------
 log("building slab plan G=16 f32...")
 sl16 = bdia_slab_plan(plan, 16)
-jax.block_until_ready(sl16.core)
+jax.block_until_ready(sl16.slabs)
 Xp0 = jax.jit(sl16.to_padded)(X0)
 
 
@@ -132,7 +132,7 @@ except Exception as e:  # noqa: BLE001
 # --- slab G=16 bf16 slabs -------------------------------------------------
 log("building slab plan G=16 bf16...")
 sl16b = bdia_slab_plan(plan, 16, dtype=jnp.bfloat16)
-jax.block_until_ready(sl16b.core)
+jax.block_until_ready(sl16b.slabs)
 
 
 def slab_bf_norm(V, sl):
@@ -145,7 +145,7 @@ bench("slab16_bf16slab_norm", slab_bf_norm, Xp0, operands=sl16b)
 # --- slab G=8 f32 ---------------------------------------------------------
 log("building slab plan G=8 f32...")
 sl8 = bdia_slab_plan(plan, 8)
-jax.block_until_ready(sl8.core)
+jax.block_until_ready(sl8.slabs)
 Xp8 = jax.jit(sl8.to_padded)(X0)
 
 
@@ -153,10 +153,16 @@ bench("slab8_f32_norm", slab_norm, Xp8, operands=sl8)
 
 log("DONE")
 
-# --- slab G=32 f32 (full-MXU sub-dots; tests the dot-issue bound) ---------
-log("building slab plan G=32 f32...")
-sl32 = bdia_slab_plan(plan, 32)
-jax.block_until_ready(sl32.core)
-Xp32 = jax.jit(sl32.to_padded)(X0)
-bench("slab32_f32_norm", slab_norm, Xp32, operands=sl32)
+# --- fully-bf16 streams (slab + X + Y bf16; the MXU already computes at
+# bf16 default precision, so the stream halving is ~free accuracy-wise) ---
+Xpb = jax.jit(lambda v: sl16b.to_padded(v.astype(jnp.bfloat16)))(X0)
+
+
+def slab_bf16chain(V, sl):
+    Y = bdia_spmm_slab_padded(sl, V, out_dtype=jnp.bfloat16)
+    s = jnp.max(jnp.abs(Y).astype(jnp.float32)) + 1e-30
+    return (Y.astype(jnp.float32) / s).astype(jnp.bfloat16)
+
+
+bench("slab16_allbf16_norm", slab_bf16chain, Xpb, operands=sl16b)
 log("DONE2")

@@ -63,16 +63,16 @@ def _interpret() -> bool:
 class BdiaSlabs:
     """Pre-sheared dense slab plan for the MXU SpMM path.
 
-    Segments are SEPARATE arrays (not one concatenated width) so every
-    in-kernel dot consumes a whole VMEM ref — no lane-offset slices for
-    Mosaic to relayout.  Row ``t·G·br + g·br + r`` of each segment
-    multiplies that segment's X window into scalar output row
-    ``(t·G + g)·br + r`` of tile ``t``.
+    ONE packed array: columns are ``[pre-halo bc | post-halo bc | near
+    band G·bc | one G·bc far segment per far offset]``, so each sub-tile
+    is a single ``(G·br, W)`` row-range dot against the stacked X window
+    — MXU dot-issue count stays at one per sub-tile (probe_slabmm1e: the
+    5-dots-per-sub-tile variant spent ~3.4 ms/apply in small-dot issue).
+    Row ``t·G·br + g·br + r`` multiplies tile ``t``'s window into scalar
+    output row ``(t·G + g)·br + r``.
     """
 
-    halo: jax.Array  # (ntiles · G·br, 2·bc) — d=∓1 boundary blocks
-    core: jax.Array  # (ntiles · G·br, G·bc) — |d| ≤ 1 sheared band
-    fars: Tuple[jax.Array, ...]  # one (ntiles · G·br, G·bc) per far offset
+    slabs: jax.Array  # (ntiles · G·br, W)
     g: int = dataclasses.field(metadata=dict(static=True))
     blocksize: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
@@ -93,12 +93,12 @@ class BdiaSlabs:
 
     @property
     def width(self) -> int:
-        """Total slab columns across segments (traffic accounting)."""
+        """Total slab columns across segments."""
         return 2 * self.blocksize[1] + self.gb_c * (1 + len(self.far_offsets))
 
     @property
     def dtype(self):
-        return self.core.dtype
+        return self.slabs.dtype
 
     @property
     def gg_align(self) -> int:
@@ -193,33 +193,34 @@ def bdia_slab_plan(a: "_bdia.BdiaMatrix", g: int = 16,
         if d == 1:  # last block row's super-diagonal block → halo post
             halo = halo.at[:, g - 1, :, bc:].set(B[:, g - 1])
     eye_g = jnp.eye(g, dtype=dt)
-    fars = tuple(  # block diagonal within its own shifted window
-        jnp.einsum("tgrc,gh->tgrhc", blocks(d), eye_g).reshape(
-            ntiles * g * br, gb_c)
-        for d in far)
+    segs = [halo, core]
+    for d in far:  # block diagonal within its own shifted window
+        segs.append(jnp.einsum("tgrc,gh->tgrhc", blocks(d), eye_g).reshape(
+            ntiles, g, br, gb_c))
+    slab = jnp.concatenate(segs, axis=-1)  # (ntiles, g, br, W)
+    W = 2 * bc + gb_c * (1 + len(far))
     return BdiaSlabs(
-        halo=halo.reshape(ntiles * g * br, 2 * bc),
-        core=core.reshape(ntiles * g * br, gb_c),
-        fars=fars,
+        slabs=slab.reshape(ntiles * g * br, W),
         g=g, blocksize=(br, bc), shape=a.shape,
         far_offsets=far, nb_pad=nb_pad,
     )
 
 
 def _slab_kernel(bc, hb, gb_r, gb_c, gg, nfar, p0s, nsup, acc_dtype,
-                 precision, interpret, sh_ref, sc_ref, *rest):
+                 precision, interpret, s_ref, *rest):
     # One grid step processes a SUPER-tile of gg G-tiles: the ~0.4 µs
     # fixed cost per Pallas grid step dominated the flat (ntiles,) grid
-    # (probe_slabmm1c: 16448 steps ≈ 8 ms of pure step overhead), so
-    # sub-tile dots unroll in-body over big BlockSpec windows instead.
-    # rest = (*far slab refs, xpre, xpost, xcore, *xfar, o_ref); the
+    # (probe_slabmm1c: 16448 steps ≈ 8 ms of pure step overhead).  Each
+    # sub-tile is ONE (gb_r, W) dot against its stacked X window — the
+    # stack is a sublane concat (cheap VPU copies), vs ~3.4 ms/apply of
+    # MXU small-dot issue when the segments dot separately
+    # (probe_slabmm1e).  rest = (xpre, xpost, xcore, *xfar, o_ref); the
     # pre/post halo views are hb-row blocks (Mosaic needs >= 8 sublanes
     # per block) holding the bc boundary rows at their tail/head;
     # interior sub-tile halos are sliced straight from the core window.
-    sf_refs = rest[:nfar]
-    xpre_ref, xpost_ref, xc_ref = rest[nfar : nfar + 3]
-    xf_refs = rest[nfar + 3 : 2 * nfar + 3]
-    o_ref = rest[2 * nfar + 3]
+    xpre_ref, xpost_ref, xc_ref = rest[:3]
+    xf_refs = rest[3 : 3 + nfar]
+    o_ref = rest[3 + nfar]
     s = pl.program_id(0)
     in_body = (s >= p0s) & (s < p0s + nsup)
 
@@ -242,12 +243,10 @@ def _slab_kernel(bc, hb, gb_r, gb_c, gg, nfar, p0s, nsup, acc_dtype,
                    else xc_ref[c0 - bc : c0, :])
             post = (xpost_ref[:bc, :] if j == gg - 1
                     else xc_ref[c0 + gb_c : c0 + gb_c + bc, :])
-            h = jnp.concatenate([pre, post], axis=0)  # (2bc, kp)
-            acc = dot(sh_ref[r0 : r0 + gb_r], h)
-            acc = acc + dot(sc_ref[r0 : r0 + gb_r], xc_ref[c0 : c0 + gb_c])
-            for fi in range(nfar):
-                acc = acc + dot(sf_refs[fi][r0 : r0 + gb_r],
-                                xf_refs[fi][c0 : c0 + gb_c])
+            parts = [pre, post, xc_ref[c0 : c0 + gb_c]]
+            parts += [xf_refs[fi][c0 : c0 + gb_c] for fi in range(nfar)]
+            w = jnp.concatenate(parts, axis=0)  # (W, kp)
+            acc = dot(s_ref[r0 : r0 + gb_r], w)
             o_ref[r0 : r0 + gb_r] = acc.astype(o_ref.dtype)
 
 
@@ -271,8 +270,7 @@ def _pick_gg(sl: BdiaSlabs, kp: int, db_x: int, db_out: int) -> int:
     gg = sl.gg_align
     while gg > 1:
         step_bytes = (
-            gg * sl.gb_r * (lanes(2 * sl.blocksize[1])
-                            + (1 + nfar) * lanes(sl.gb_c)) * db_s
+            gg * sl.gb_r * lanes(sl.width) * db_s
             + (1 + nfar) * gg * sl.gb_c * kp * db_x
             + gg * sl.gb_r * kp * db_out)
         if step_bytes <= _VMEM_STEP_BUDGET and \
@@ -338,13 +336,9 @@ def bdia_spmm_slab_padded(sl: BdiaSlabs, xpad, *,
         return m
 
     in_specs = [
-        pl.BlockSpec((gg * gb_r, 2 * bc), _slab_map,
+        pl.BlockSpec((gg * gb_r, sl.width), _slab_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((gg * gb_r, gb_c), _slab_map, memory_space=pltpu.VMEM),
     ]
-    for _ in sl.far_offsets:
-        in_specs.append(pl.BlockSpec((gg * gb_r, gb_c), _slab_map,
-                                     memory_space=pltpu.VMEM))
     in_specs += [
         pl.BlockSpec((hb, kp), lambda s: (jnp.maximum(s * sch - 1, 0), 0),
                      memory_space=pltpu.VMEM),
@@ -369,7 +363,7 @@ def bdia_spmm_slab_padded(sl: BdiaSlabs, xpad, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((total * gb_r, kp), out_dtype),
         interpret=_interpret(),
-    )(sl.halo, sl.core, *sl.fars, xpad, xpad, xpad, *([xpad] * nfar))
+    )(sl.slabs, xpad, xpad, xpad, *([xpad] * nfar))
 
 
 def bdia_spmm_pallas_slab(sl: BdiaSlabs, x, *,

@@ -39,10 +39,7 @@ class TestSlabPlan:
         assert sl.far_offsets == (-16, 16)
         assert sl.gb_r == sl.gb_c == 32
         assert sl.width == 2 * 4 + 32 * 3
-        assert sl.halo.shape == (sl.ntiles * 32, 8)
-        assert sl.core.shape == (sl.ntiles * 32, 32)
-        assert len(sl.fars) == 2
-        assert all(f.shape == (sl.ntiles * 32, 32) for f in sl.fars)
+        assert sl.slabs.shape == (sl.ntiles * 32, sl.width)
         # padding rounds up to the super-tile alignment (ntiles=128 at
         # this plan's nb_pad=1024 -> gg_align 32)
         assert sl.gg_align == 32
