@@ -17,6 +17,43 @@ import jax.numpy as jnp
 from cask_tpu.formats.matrix import BSR, COO, CSR
 from cask_tpu.ops.spmv import _accum_dtype, row_ids_from_indptr
 
+_PLAN_MISS = object()
+# don't silently allocate more than this for a memoized slab plan (the
+# shear inflates values ~(W/avg block diags)x; 1M-row fem dof-4 at g=16
+# is ~840 MB f32)
+_SLAB_MAX_BYTES = 2 << 30
+
+
+def _slab_auto_plan(a):
+    """Instance-memoized MXU slab plan for wide-k BDIA SpMM (same cache
+    policy as ``spmv._bdia_auto_plan``: built once per instance, misses
+    memoized, never built under a trace — a traced build would re-shear
+    every call)."""
+    cached = getattr(a, "_slab_auto_plan", _PLAN_MISS)
+    if cached is not _PLAN_MISS:
+        return cached
+    if isinstance(a.vals, jax.core.Tracer):
+        return None
+    from cask_tpu.ops.pallas.bdia_slab import bdia_slab_ok, bdia_slab_plan
+
+    plan = None
+    try:
+        br, bc = a.blocksize
+        nfar = sum(1 for d in a.block_offsets if abs(d) > 1)
+        db = jnp.dtype(a.vals.dtype).itemsize
+        for g in (16, 8, 4):
+            if not bdia_slab_ok(a, g):
+                continue
+            width = 2 * bc + g * bc * (1 + nfar)
+            if a.nb_pad * br * width * db > _SLAB_MAX_BYTES:
+                continue  # smaller g shrinks the far-segment fill
+            plan = bdia_slab_plan(a, g)
+            break
+    except Exception:  # shear failure = not profitable, use the ring
+        plan = None
+    object.__setattr__(a, "_slab_auto_plan", plan)
+    return plan
+
 
 def _spmm_xla_csr(a: CSR, x, transpose, accum_dtype):
     acc = _accum_dtype(a.dtype, accum_dtype)
@@ -83,7 +120,7 @@ def spmm(a, x, *, transpose: bool = False, method: str = "auto",
         from cask_tpu.ops.dia import spmm_dia
 
         return spmm_dia(a, x, transpose=transpose, accum_dtype=accum_dtype)
-    if method not in ("auto", "xla", "pallas_bdia"):
+    if method not in ("auto", "xla", "pallas_bdia", "slab"):
         raise ValueError(f"unknown spmm method {method!r}")
 
     if isinstance(a, CSR):
@@ -140,16 +177,32 @@ def spmm(a, x, *, transpose: bool = False, method: str = "auto",
         from cask_tpu.utils.platform import on_tpu
 
         k = int(x.shape[1])
-        if k > 64 and bdia_mm_ok(a, k) and (on_tpu() or method == "pallas_bdia"):
-            # block ring SpMM: exactly-nnz value stream, X/Y cross HBM
-            # once in natural layout (VERDICT r2 item 3)
-            y = bdia_spmm_pallas_ring(a, x, out_dtype=accum_dtype)
-            if a.rem_data.shape[0]:
-                prod = a.rem_data[:, None].astype(y.dtype) * \
-                    x[a.rem_col].astype(y.dtype)
-                y = y + jax.ops.segment_sum(prod, a.rem_row,
-                                            num_segments=a.shape[0])
-            return y
+        if k > 64 and (on_tpu() or method in ("pallas_bdia", "slab")):
+            # wide k: the MXU slab kernel at exact precision beats the
+            # VPU ring 1.5x measured (probe_slabmm1f: 6.8 vs 10.2 ms at
+            # 1M rows k=128, relerr 3.9e-7); plan memoized per instance.
+            # method='pallas_bdia' keeps forcing the ring explicitly.
+            sl = _slab_auto_plan(a) if method != "pallas_bdia" else None
+            if sl is not None:
+                from cask_tpu.ops.pallas.bdia_slab import (
+                    bdia_spmm_pallas_slab,
+                )
+
+                y = bdia_spmm_pallas_slab(sl, x, precision="highest",
+                                          out_dtype=accum_dtype)
+            elif bdia_mm_ok(a, k):
+                # block ring SpMM fallback: exactly-nnz value stream,
+                # X/Y cross HBM once in natural layout (VERDICT r2 it.3)
+                y = bdia_spmm_pallas_ring(a, x, out_dtype=accum_dtype)
+            else:
+                y = None
+            if y is not None:
+                if a.rem_data.shape[0]:
+                    prod = a.rem_data[:, None].astype(y.dtype) * \
+                        x[a.rem_col].astype(y.dtype)
+                    y = y + jax.ops.segment_sum(prod, a.rem_row,
+                                                num_segments=a.shape[0])
+                return y
         from cask_tpu.ops.bdia import bdia_scalar_dia
 
         # scalar-DIA SpMM on the expanded structure; the host-side plan

@@ -101,12 +101,18 @@ def _aggregate(strength) -> np.ndarray:
     return agg
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class AmgLevel:
     # operators are whatever plan the router picked: a DiaMatrix (banded
     # levels), PohMatrix (unstructured levels), dense jax.Array (small
     # levels), or device CSR (route="csr" — the gather fallback); the
-    # generic `spmv` dispatch serves them all
+    # generic `spmv` dispatch serves them all.  Registered as a pytree
+    # so the WHOLE hierarchy can ride into jitted solves as an ARGUMENT
+    # instead of closure constants — probe_amg9 measured the
+    # closure-constant program compiling 11x slower at 16 call sites,
+    # and per-call retrace+hash of inline-constant programs is the
+    # ~25-47 s AMG "dispatch wall" of probe_amg6/8
     a: object  # level operator (device)
     p: object  # prolongator (n_fine × n_coarse, device)
     r: object  # restriction = Pᵀ (device)
@@ -125,6 +131,7 @@ def _apply_op(op, x, precision: str = "split"):
     return spmv(op, x)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class _FactoredApply:
     """Smoothed prolongator applied in FACTORED form (probe_amg3: the
@@ -142,12 +149,12 @@ class _FactoredApply:
     A-apply rides the 0.9-class kernel instead of the ~4 Gnnz/s POH
     floor."""
 
-    kind: str  # 'p' or 'r'
+    kind: str = dataclasses.field(metadata=dict(static=True))  # 'p' | 'r'
     tent: object  # PohMatrix, (n × nc) one-hot
     tent_t: object  # PohMatrix, (nc × n)
     a: object  # routed level operator
     dinv: jax.Array
-    omega_s: float
+    omega_s: float = dataclasses.field(metadata=dict(static=True))
 
     @property
     def shape(self):
@@ -163,9 +170,17 @@ class _FactoredApply:
                          precision)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class AmgPrecond:
     """Callable ``r → V-cycle(r) ≈ A⁻¹r``; pass as ``M=`` to the solvers.
+
+    A registered pytree: pass the hierarchy INTO a jitted solve as an
+    argument — ``jax.jit(lambda b, M: cg(op, b, M=M).x)(b, M)`` — and
+    hold that one jitted callable for repeat solves.  Re-tracing a
+    solve that closes over the hierarchy hashes hundreds of MB of
+    inline constants per call: that is probe_amg6/8's ~25-47 s
+    "dispatch wall" (probe_amg9/10 attribution).
 
     ``poh_precision``: MXU rounding mode for every POH-routed operator
     in the cycle (level operators and P/R packs).  ``'fast'`` runs the
@@ -178,10 +193,11 @@ class AmgPrecond:
 
     levels: List[AmgLevel]
     coarse_inv: jax.Array  # dense inverse of the coarsest operator
-    omega: float
-    nu_pre: int
-    nu_post: int
-    poh_precision: str = "split"
+    omega: float = dataclasses.field(metadata=dict(static=True))
+    nu_pre: int = dataclasses.field(metadata=dict(static=True))
+    nu_post: int = dataclasses.field(metadata=dict(static=True))
+    poh_precision: str = dataclasses.field(
+        default="split", metadata=dict(static=True))
 
     @property
     def level_sizes(self) -> List[int]:

@@ -307,3 +307,62 @@ class TestCsrSpmmAutoRoute:
         Y = np.asarray(spmm(a, jnp.asarray(X)))
         assert getattr(a, "_dia_auto_plan", "missing") is None
         np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-10, atol=1e-10)
+
+
+class TestBdiaSlabSpmmRoute:
+    """Wide-k BDIA SpMM rides the MXU slab kernel (exact precision) by
+    default; the ring stays reachable via method='pallas_bdia'."""
+
+    def _plan(self, nx=16, dof=4):
+        import jax.numpy as jnp  # noqa: F401
+
+        from cask_tpu.formats.generate import fem_blocks
+        from cask_tpu.ops.bdia import bdia_plan
+
+        a = fem_blocks(nx, dof=dof, return_bsr=True)
+        return bdia_plan(a, (dof, dof)), a
+
+    def test_slab_route_matches_scipy(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import to_scipy
+
+        p, a = self._plan()
+        X = np.random.default_rng(41).standard_normal((p.shape[1], 128))
+        Y = np.asarray(spmm(p, jnp.asarray(X), method="slab"))
+        np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-10, atol=1e-9)
+        # plan memoized on the instance; second call reuses it
+        sl = getattr(p, "_slab_auto_plan", None)
+        assert sl is not None
+        spmm(p, jnp.asarray(X), method="slab")
+        assert p._slab_auto_plan is sl
+
+    def test_ring_still_forced_by_pallas_bdia(self):
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import to_scipy
+
+        p, a = self._plan(12)
+        X = np.random.default_rng(42).standard_normal((p.shape[1], 96))
+        Y = np.asarray(spmm(p, jnp.asarray(X), method="pallas_bdia"))
+        np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-10, atol=1e-9)
+        # the explicit ring route must not build a slab plan
+        assert getattr(p, "_slab_auto_plan", "missing") == "missing"
+
+    def test_no_slab_build_under_trace(self):
+        import jax
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import to_scipy
+
+        p, a = self._plan(12)
+        X = np.random.default_rng(43).standard_normal((p.shape[1], 96))
+
+        @jax.jit
+        def f(pp, XX):
+            return spmm(pp, XX, method="slab")
+
+        Y = np.asarray(f(p, jnp.asarray(X)))
+        np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-10, atol=1e-9)
+        # tracer leaves must not be memoized as a plan
+        assert getattr(p, "_slab_auto_plan", None) is None
