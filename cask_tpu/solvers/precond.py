@@ -26,16 +26,24 @@ reach for ``ilu0(a).jacobi_applier(sweeps=2)`` on anisotropic /
 line-coupled systems.  Keep ``method='levels'`` for correctness tests,
 small systems, and many-RHS batches.
 
-**AMG guidance (measured, PERF.md probe_amg2/3/4):** the routed +
-factored V-cycle applies in ms-class and cuts iterations to O(10)
-without degrading under anisotropy (17 iso / 12 aniso at 1M rows vs
-2470/3879 for jacobi) — but on the axon dev harness each *solve call*
-pays a fixed ~30 s dispatching the multi-level executable, so
-single-solve wall favors jacobi/ILU-jac there.  Prefer
-:func:`~cask_tpu.solvers.amg.smoothed_aggregation_amg` when iteration
-counts dominate wall: many right-hand sides against one hierarchy,
-direct-attached runtimes, or operators where one-level preconditioners
-stall.
+**AMG guidance (measured, PERF.md probe_amg2/3/4 + probe_amg9/10):**
+the routed + factored V-cycle applies in ms-class and cuts iterations
+to O(10) without degrading under anisotropy (17 iso / 12 aniso at 1M
+rows vs 2470/3879 for jacobi).  The r4 "~30 s per-solve dispatch wall"
+was ATTRIBUTED and FIXED in r5: it was per-call re-tracing of a solve
+that closed over the hierarchy as inline constants (probe_amg9/10) —
+un-jitted ``cg(op, b, M=M)`` pays 32.6 s per call at 1M, while ONE
+held jitted solve with the hierarchy passed as a pytree ARGUMENT::
+
+    solve = jax.jit(lambda b, M: cg(op, b, tol=1e-6, M=M).x)
+    x = solve(b, M)      # compile once (~30 s on the relay)
+    x = solve(b2, M)     # 0.08 s warm — 17 iterations, converged
+
+runs warm in **0.08 s** (probe_amg10, 400× the unjitted wall) —
+~17× faster end-to-end than jacobi-PCG's 1.3–1.5 s at 1M.  AMG-PCG in
+this form is the shipped recommendation at ≥1M rows whenever more than
+one solve amortizes the setup + compile; jacobi/ILU-jac remain the
+zero-setup defaults for one-shot solves and small systems.
 """
 
 from __future__ import annotations
