@@ -36,26 +36,28 @@ SEED_EQUIV_BYTES: Dict[str, float] = {
     "poh_fast:8192": 1200.0,
     "poh_mm": 130.0,
     "poh_mm_fast": 80.0,
-    # column window of the matrix the :2048 constants were measured on
-    # (probe_poh7's 50k d12 power law → auto C = 4096); anchors the
+    # column window of the matrix the :2048 constants were measured on:
+    # probe_poh7's 50k d12 power law has 1.17M nnz → nnz/panel 95.8k →
+    # auto C = 2048 at T=2048 (and the 8192 cap at T=8192); anchors the
     # window-aware power law below
-    "_c_ref": 4096.0,
+    "_c_ref": 2048.0,
 }
 
 HBM_BYTES_PER_S = 819e9  # v5e spec; roofline reference for equiv-bytes
 
 # Window-aware analytic cost model (VERDICT r4 next-4).  probe_poh7
-# measured the per-slot cost growing superlinearly with the auto-sized
-# column window C: 0.39 ns/slot at C=4096 (T=2048) vs 1.49 at C=8192
-# (T=8192) on the same matrix — a 3.8x jump for 2x window, i.e.
-# eb_slot(C) = base · (C / C_ref)^alpha with alpha = log2(3.8) ≈ 1.93
-# (the window pick + gather-dot VPU passes scale with C, and bigger
-# windows also lengthen the per-slot-row select chains).  The per-TILE
+# measured per-slot cost tracking the auto-sized column window C:
+# 320 eq-B/slot at C=2048 (T=2048) vs 1220 at C=8192 (T=8192) on the
+# same matrix — 3.8x for a 4x window, i.e. eb_slot(C) =
+# base · (C / C_ref)^alpha with alpha = log4(3.8) ≈ 0.965: per-slot
+# cost is ~LINEAR in the window (the 2nhx-vreg window pick and gather
+# dot scale with C — consistent with probe_poh6's VPU-bound
+# decomposition, which read ~224 eq-B at C=1024).  The per-TILE
 # overhead term separates the regular-pack regime: when both tile sizes
 # hit the same window (the 8192 cap, e.g. AMG tentative packs at 1M
 # rows), per-slot costs tie and fewer/bigger tiles win — probe_amg7
 # measured T=8192 ~10 % better there, which fixes POH_TILE_EQUIV.
-POH_ALPHA = 1.93
+POH_ALPHA = 0.965
 POH_TILE_EQUIV = 6000.0  # equiv bytes per tile (probe_amg7 fit)
 POH_FILL = 0.9           # typical packed-slot fill (probe_poh1-4: 0.85-0.99)
 

@@ -253,16 +253,16 @@ class TestAnalyticPohCost:
                 == p.col_window
 
     def test_scattered_prefers_2048(self):
-        # probe_poh7's 50k d12 power law: auto C is 4096 at T=2048 but
-        # 8192 at T=8192 → the small tile must cost less per nnz
+        # probe_poh7's 50k d12 power law (1.17M nnz): auto C is 2048 at
+        # T=2048 but the 8192 cap at T=8192 → small tile costs less/nnz
         from cask_tpu.tune.calibrate import (
             poh_auto_window,
             poh_equiv_bytes_analytic,
         )
 
         m = n = 50_000
-        nnz = 599_940
-        assert poh_auto_window(m, n, nnz, 2048) == 4096
+        nnz = 1_170_000
+        assert poh_auto_window(m, n, nnz, 2048) == 2048
         assert poh_auto_window(m, n, nnz, 8192) == 8192
         assert poh_equiv_bytes_analytic(m, n, nnz, 2048) \
             < poh_equiv_bytes_analytic(m, n, nnz, 8192)
@@ -283,10 +283,10 @@ class TestAnalyticPohCost:
             < poh_equiv_bytes_analytic(m, n, nnz, 2048)
 
     def test_anchors_reproduce_r4_seeds(self):
-        # at the reference structure the power law must reproduce the
-        # measured seed constants (probe_poh7: 320 at C=4096, ~1220 at
-        # C=8192) — the model interpolates BETWEEN measurements, it does
-        # not replace them
+        # at the reference structure (probe_poh7's real matrix stats:
+        # 50k rows, 1.17M nnz → C 2048/8192) the model must reproduce
+        # the measured seed constants (320 at C=2048, ~1220 at C=8192)
+        # — it interpolates BETWEEN measurements, not replaces them
         from cask_tpu.tune.calibrate import (
             POH_FILL,
             POH_TILE_EQUIV,
@@ -295,7 +295,7 @@ class TestAnalyticPohCost:
         )
 
         m = n = 50_000
-        nnz = 599_940
+        nnz = 1_170_000
         eb2 = poh_equiv_bytes_analytic(m, n, nnz, 2048) * POH_FILL \
             - POH_TILE_EQUIV / 2048
         eb8 = poh_equiv_bytes_analytic(m, n, nnz, 8192) * POH_FILL \
