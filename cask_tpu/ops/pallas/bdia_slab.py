@@ -382,3 +382,153 @@ def bdia_spmm_pallas_slab(sl: BdiaSlabs, x, *,
                                  out_dtype=out_dtype)
     y = sl.from_padded(ypad, k)
     return y[:, 0] if squeeze else y
+
+
+# ---------------------------------------------------------------------------
+# X-ring variant: every X window crosses HBM ONCE
+# ---------------------------------------------------------------------------
+
+
+def _slab_ring_kernel(bc, gb_r, gb_c, gg, far_shifts, nb, smin, smax, p0s,
+                      nsup, tot_s, acc_dtype, precision, interpret,
+                      s_ref, x_hbm, o_ref, banks, sems):
+    # The BlockSpec version fetches each window once per consuming
+    # segment (core + every far shift = (1+nfar)x X traffic).  Here a
+    # revolving VMEM ring holds the last/next few super-windows and the
+    # far segments read the SAME banks the core already fetched — X
+    # crosses HBM exactly once.  Bank w%nb holds window w; at step s the
+    # live windows are s+smin .. s+smax (+1 lookahead being filled).
+    wg = gg * gb_c
+    s = pl.program_id(0)
+
+    def fill(w):
+        for slot in range(nb):
+            @pl.when((jnp.mod(w, nb) == slot) & (w >= 0) & (w < tot_s))
+            def _(slot=slot):
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(w * wg, wg), :],
+                    banks.at[slot], sems.at[slot]).start()
+
+            @pl.when((jnp.mod(w, nb) == slot) & ((w < 0) | (w >= tot_s)))
+            def _(slot=slot):
+                banks[slot] = jnp.zeros(banks.shape[1:], banks.dtype)
+
+    def wait(w):
+        for slot in range(nb):
+            @pl.when((jnp.mod(w, nb) == slot) & (w >= 0) & (w < tot_s))
+            def _(slot=slot):
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(w * wg, wg), :],
+                    banks.at[slot], sems.at[slot]).wait()
+
+    @pl.when(s == 0)
+    def _():
+        for w0 in range(smin, smax + 2):
+            fill(jnp.int32(w0))
+        for w0 in range(smin, smax + 1):
+            wait(jnp.int32(w0))
+
+    @pl.when(s > 0)
+    def _():
+        fill(s + smax + 1)
+        wait(s + smax)
+
+    in_body = (s >= p0s) & (s < p0s + nsup)
+
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+        precision=precision,
+    )
+
+    @pl.when(jnp.logical_not(in_body))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(in_body)
+    def _():
+        def bank(sh):
+            idx = jnp.mod(s + sh, nb)
+            return banks[pl.ds(idx, 1)][0]
+
+        core_b = bank(0)
+        for j in range(gg):
+            r0, c0 = j * gb_r, j * gb_c
+            pre = bank(-1)[wg - bc :] if j == 0 else core_b[c0 - bc : c0]
+            post = (bank(1)[:bc] if j == gg - 1
+                    else core_b[c0 + gb_c : c0 + gb_c + bc])
+            parts = [pre, post, core_b[c0 : c0 + gb_c]]
+            parts += [bank(sh)[c0 : c0 + gb_c] for sh in far_shifts]
+            w = jnp.concatenate(parts, axis=0)
+            acc = dot(s_ref[r0 : r0 + gb_r], w)
+            o_ref[r0 : r0 + gb_r] = acc.astype(o_ref.dtype)
+
+
+def bdia_spmm_slab_ring_padded(sl: BdiaSlabs, xpad, *,
+                               gg: Optional[int] = None,
+                               precision: Optional[str] = None,
+                               out_dtype=None):
+    """``Ypad = A @ Xpad`` like :func:`bdia_spmm_slab_padded`, but X
+    crosses HBM ONCE via a revolving VMEM window ring (the far segments
+    re-read banks the core stream already fetched).  Traffic floor drops
+    from ``slab + (1+nfar)·X + Y`` to ``slab + X + Y``."""
+    br, bc = sl.blocksize
+    if br != bc:
+        raise ValueError("padded slab chain layout needs square blocks")
+    g, gb_r, gb_c = sl.g, sl.gb_r, sl.gb_c
+    ntiles, p0t = sl.ntiles, sl.pad_tiles
+    nfar = len(sl.far_offsets)
+    total = p0t + ntiles + p0t
+    kp = int(xpad.shape[1])
+    if kp % _LANE:
+        raise ValueError(f"padded layout needs 128-multiple lanes, got {kp}")
+    if xpad.shape[0] != total * gb_c:
+        raise ValueError(f"xpad rows {xpad.shape[0]} != {total * gb_c}")
+    if out_dtype is None:
+        out_dtype = jnp.promote_types(sl.dtype, xpad.dtype)
+        if jnp.bfloat16 in (jnp.dtype(sl.dtype), jnp.dtype(xpad.dtype)):
+            out_dtype = jnp.promote_types(out_dtype, jnp.float32)
+    if gg is None:
+        gg = _pick_gg(sl, kp, jnp.dtype(xpad.dtype).itemsize,
+                      jnp.dtype(out_dtype).itemsize)
+    if sl.gg_align % gg or p0t % gg or ntiles % gg:
+        raise ValueError(f"gg={gg} must divide the layout alignment "
+                         f"(gg_align={sl.gg_align}, pad={p0t})")
+    for d in sl.far_offsets:
+        if d % (g * gg):
+            raise ValueError(f"far offset {d} not a multiple of g*gg="
+                             f"{g * gg}; pass a smaller gg")
+    p0s, nsup = p0t // gg, ntiles // gg
+    tot_s = p0s + nsup + p0s
+    far_shifts = tuple(d // (g * gg) for d in sl.far_offsets)
+    smin = min((-1,) + far_shifts)
+    smax = max((1,) + far_shifts)
+    nb = smax - smin + 3  # live span + lookahead + safety
+    wg = gg * gb_c
+
+    def _slab_map(s):
+        return (jnp.clip(s - p0s, 0, nsup - 1), 0)
+
+    acc_dtype = (jnp.float64 if jnp.dtype(out_dtype) == jnp.float64
+                 else jnp.float32)
+    kernel = functools.partial(
+        _slab_ring_kernel, bc, gb_r, gb_c, gg, far_shifts, nb, smin, smax,
+        p0s, nsup, tot_s, acc_dtype, precision, _interpret())
+    return pl.pallas_call(
+        kernel,
+        grid=(tot_s,),
+        in_specs=[
+            pl.BlockSpec((gg * gb_r, sl.width), _slab_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((gg * gb_r, kp), lambda s: (s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total * gb_r, kp), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nb, wg, kp), xpad.dtype),
+            pltpu.SemaphoreType.DMA((nb,)),
+        ],
+        interpret=_interpret(),
+    )(sl.slabs, xpad)

@@ -128,3 +128,46 @@ class TestSlabPlan:
         y = np.asarray(bdia_spmm_pallas_slab(sl, jnp.asarray(x)))
         y_ref = np.asarray(plan._spmv_xla(jnp.asarray(x)))
         np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12)
+
+
+class TestSlabRing:
+    """X-ring variant: bit-identical to the BlockSpec version (only the
+    X delivery changes — revolving VMEM banks instead of per-segment
+    window fetches)."""
+
+    @pytest.mark.parametrize("gg", [1, 2])
+    def test_matches_blockspec_version(self, gg):
+        from cask_tpu.ops.pallas.bdia_slab import bdia_spmm_slab_ring_padded
+
+        p, s = _plan(16, dof=4)
+        sl = bdia_slab_plan(p, 8)
+        X = np.random.default_rng(11).standard_normal((p.shape[1], 8))
+        xp = sl.to_padded(jnp.asarray(X))
+        yr = bdia_spmm_slab_ring_padded(sl, xp, gg=gg)
+        yb = bdia_spmm_slab_padded(sl, xp, gg=gg)
+        np.testing.assert_array_equal(np.asarray(yr), np.asarray(yb))
+        np.testing.assert_allclose(
+            np.asarray(sl.from_padded(yr, 8)), s @ X, rtol=1e-12, atol=1e-12)
+
+    def test_chain_endomorphic(self):
+        from cask_tpu.ops.pallas.bdia_slab import bdia_spmm_slab_ring_padded
+
+        p, s = _plan(16, dof=4)
+        sl = bdia_slab_plan(p, 8)
+        x = np.random.default_rng(12).standard_normal((p.shape[1], 8))
+        xp = sl.to_padded(jnp.asarray(x))
+        y2 = bdia_spmm_slab_ring_padded(
+            sl, bdia_spmm_slab_ring_padded(sl, xp))
+        np.testing.assert_allclose(np.asarray(sl.from_padded(y2, 8)),
+                                   s @ (s @ x), rtol=1e-12, atol=1e-10)
+
+    def test_dof2(self):
+        from cask_tpu.ops.pallas.bdia_slab import bdia_spmm_slab_ring_padded
+
+        p, s = _plan(12, dof=2, seed=3)
+        sl = bdia_slab_plan(p, 4)
+        x = np.random.default_rng(13).standard_normal((p.shape[1], 4))
+        xp = sl.to_padded(jnp.asarray(x))
+        y = sl.from_padded(bdia_spmm_slab_ring_padded(sl, xp), 4)
+        np.testing.assert_allclose(np.asarray(y), s @ x,
+                                   rtol=1e-12, atol=1e-12)
