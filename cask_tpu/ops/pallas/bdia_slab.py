@@ -369,17 +369,19 @@ def bdia_spmm_slab_padded(sl: BdiaSlabs, xpad, *,
 def bdia_spmm_pallas_slab(sl: BdiaSlabs, x, *,
                           precision: Optional[str] = None,
                           out_dtype=None):
-    """``Y = A @ X`` (natural layouts) through the slab MXU kernel.
-    One-shot callers pay the pad/slice copies; chained solvers should
-    use :meth:`BdiaSlabs.to_padded` + :func:`bdia_spmm_slab_padded`."""
+    """``Y = A @ X`` (natural layouts) through the slab MXU kernel —
+    the X-ring delivery (bit-identical to the BlockSpec version and
+    1.3x faster measured, probe_slabmm2).  One-shot callers pay the
+    pad/slice copies; chained solvers should use
+    :meth:`BdiaSlabs.to_padded` + :func:`bdia_spmm_slab_ring_padded`."""
     x = jnp.asarray(x)
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
     k = int(x.shape[1])
     xpad = sl.to_padded(x)
-    ypad = bdia_spmm_slab_padded(sl, xpad, precision=precision,
-                                 out_dtype=out_dtype)
+    ypad = bdia_spmm_slab_ring_padded(sl, xpad, precision=precision,
+                                      out_dtype=out_dtype)
     y = sl.from_padded(ypad, k)
     return y[:, 0] if squeeze else y
 
