@@ -354,6 +354,51 @@ def _bdia_local(plan: BdiaPartition, x_loc, axis: str, interior: str = "xla",
     return y
 
 
+def _bdia_shard_slab_geom(plan: BdiaPartition, g: int):
+    """Static BdiaSlabs geometry of one shard (vals supplied per shard)."""
+    from cask_tpu.ops.pallas.bdia_slab import BdiaSlabs
+
+    _, br, T, npairs, TS, L = plan.vals.shape
+    return dict(
+        g=g, blocksize=plan.blocksize, shape=(plan.mloc, plan.mloc),
+        far_offsets=tuple(sorted(d for d in plan.block_offsets
+                                 if abs(d) > 1)),
+        nb_pad=T * TS * L,
+    ), BdiaSlabs
+
+
+def _bdia_local_mm_slab(plan: BdiaPartition, slabs_loc, x_loc, axis: str,
+                        geom=None):
+    """Wide-k shard SpMM through the MXU slab X-ring kernel (exact
+    precision) — same halo/fixup/remainder discipline as
+    :func:`_bdia_local_mm`, with the interior's zero-padded frame being
+    the slab kernel's own padded chain layout."""
+    from cask_tpu.ops.pallas.bdia_slab import bdia_spmm_slab_ring_padded
+
+    br, bc = plan.blocksize
+    lo, hi = plan.halo_lo_b * bc, plan.halo_hi_b * bc
+    k = x_loc.shape[1]
+
+    left, right = _ring_halo(x_loc, lo, hi, axis, plan.nshards)
+    y_rem = _coo_local_mm(plan.remainder, x_loc, axis) \
+        if plan.remainder is not None else None
+
+    kwargs, BdiaSlabs = geom
+    sl = BdiaSlabs(slabs=_sq(slabs_loc), **kwargs)
+    ypad = bdia_spmm_slab_ring_padded(sl, sl.to_padded(x_loc),
+                                      precision="highest")
+    y = sl.from_padded(ypad, k)
+
+    head, tail = _bdia_edge_fixups(plan, left, right, k=k)
+    if head is not None:
+        y = y.at[: head.shape[0]].add(head.astype(y.dtype))
+    if tail is not None:
+        y = y.at[plan.mloc - tail.shape[0] :].add(tail.astype(y.dtype))
+    if y_rem is not None:
+        y = y + y_rem.astype(y.dtype)
+    return y
+
+
 def _bdia_local_mm(plan: BdiaPartition, x_loc, axis: str):
     br, bc = plan.blocksize
     lo, hi = plan.halo_lo_b * bc, plan.halo_hi_b * bc
@@ -403,7 +448,7 @@ class DistSpmv:
     """
 
     def __init__(self, plan, mesh: Optional[Mesh] = None, *, interior: str = "auto",
-                 overlap: bool = True):
+                 overlap: bool = True, mm_interior: str = "auto"):
         self.plan = plan
         self.mesh = mesh if mesh is not None else row_mesh(plan.nshards)
         if self.mesh.shape[AXIS] != plan.nshards:
@@ -443,15 +488,40 @@ class DistSpmv:
                         "component segments")
             local = partial(_bdia_local, interior=interior, overlap=overlap)
             local_mm = _bdia_local_mm
+            # wide-k SpMM interior: the MXU slab X-ring kernel at exact
+            # precision (probe_slabmm2: 2.3x the VPU formulations) when
+            # the shard geometry shears; per-shard slabs built once here
+            if mm_interior == "auto":
+                from cask_tpu.ops.pallas.bdia_slab import bdia_slab_ok
+                from cask_tpu.utils.platform import on_tpu
+
+                mm_interior = ("slab" if on_tpu()
+                               and self._slab_g(plan) is not None
+                               else "xla")
+            if mm_interior == "slab":
+                g = self._slab_g(plan)
+                if g is None:
+                    raise ValueError(
+                        "mm_interior='slab' needs slab-eligible shard "
+                        "geometry (bdia_slab_ok on the shard matrix)")
+                local_mm = partial(_bdia_local_mm_slab,
+                                   geom=_bdia_shard_slab_geom(plan, g))
+                self._mm_slab_g = g
         elif isinstance(plan, PohPartition):
             local = _poh_local
             local_mm = _poh_local_mm
         else:
             local = _coo_local
             local_mm = _coo_local_mm
+        if mm_interior == "slab" and not isinstance(plan, BdiaPartition):
+            raise ValueError("mm_interior='slab' needs a BdiaPartition")
         self.interior = interior  # resolved value ('auto' never survives)
+        self.mm_interior = mm_interior
 
         plan_specs = jax.tree.map(lambda _: P(AXIS), plan)
+        self.plan_dev = jax.device_put(
+            plan, jax.tree.map(lambda s: NamedSharding(self.mesh, s), plan_specs)
+        )
 
         self._spmv = jax.jit(
             shard_map(
@@ -462,18 +532,65 @@ class DistSpmv:
                 check_vma=False,  # pallas_call outputs carry no vma info
             )
         )
-        self._spmm = jax.jit(
-            shard_map(
-                partial(local_mm, axis=AXIS),
-                mesh=self.mesh,
-                in_specs=(plan_specs, P(AXIS, None)),
-                out_specs=P(AXIS, None),
-                check_vma=False,
+        if getattr(self, "_mm_slab_g", None) is not None:
+            self._slabs = self._build_shard_slabs(plan)
+            f_mm = jax.jit(
+                shard_map(
+                    partial(local_mm, axis=AXIS),
+                    mesh=self.mesh,
+                    in_specs=(plan_specs, P(AXIS), P(AXIS, None)),
+                    out_specs=P(AXIS, None),
+                    check_vma=False,
+                )
             )
-        )
-        self.plan_dev = jax.device_put(
-            plan, jax.tree.map(lambda s: NamedSharding(self.mesh, s), plan_specs)
-        )
+            self._spmm = lambda plan_dev, xp: f_mm(plan_dev, self._slabs, xp)
+        else:
+            self._spmm = jax.jit(
+                shard_map(
+                    partial(local_mm, axis=AXIS),
+                    mesh=self.mesh,
+                    in_specs=(plan_specs, P(AXIS, None)),
+                    out_specs=P(AXIS, None),
+                    check_vma=False,
+                )
+            )
+
+    @staticmethod
+    def _slab_g(plan):
+        """Largest slab tile size the shard geometry admits (or None)."""
+        from cask_tpu.ops.pallas.bdia_slab import bdia_slab_ok
+
+        meta = _bdia_shard_meta(plan)
+        for g in (16, 8, 4):
+            if bdia_slab_ok(meta, g):
+                return g
+        return None
+
+    def _build_shard_slabs(self, plan):
+        """Shear every shard's band into slab form ONCE (device,
+        vmapped over the shard axis, sharded like the plan)."""
+        from cask_tpu.ops.bdia import BdiaMatrix
+        from cask_tpu.ops.pallas.bdia_slab import bdia_slab_plan
+
+        g = self._mm_slab_g
+
+        def shear(vals):
+            m = BdiaMatrix(
+                vals=vals,
+                rem_data=jnp.zeros((0,), vals.dtype),
+                rem_row=jnp.zeros((0,), jnp.int32),
+                rem_col=jnp.zeros((0,), jnp.int32),
+                block_offsets=plan.block_offsets,
+                shape=(plan.mloc, plan.mloc),
+                blocksize=plan.blocksize,
+                ts=plan.ts,
+            )
+            return bdia_slab_plan(m, g).slabs
+
+        return jax.jit(
+            jax.vmap(shear),
+            out_shardings=NamedSharding(self.mesh, P(AXIS)),
+        )(self.plan_dev.vals)
 
     @property
     def padded_n(self) -> int:

@@ -348,3 +348,55 @@ class TestShardMetaAndAlignGuards:
         x = np.random.default_rng(10).standard_normal(a.shape[1])
         np.testing.assert_allclose(np.asarray(op(x)), to_scipy(a) @ x,
                                    rtol=1e-12, atol=1e-12)
+
+
+class TestSlabMmInterior:
+    """Distributed wide-k SpMM through the MXU slab X-ring interior
+    (exact precision): must match scipy and the XLA interior on the
+    fake mesh, remainder and uneven shards included."""
+
+    @pytest.mark.parametrize("p", [2, 4])
+    def test_matches_scipy_and_xla_interior(self, p):
+        a = _fem(24, dtype=np.float32)
+        plan = partition_bdia(a, p)
+        op_s = DistSpmv(plan, row_mesh(p), mm_interior="slab")
+        assert op_s.mm_interior == "slab"
+        op_x = DistSpmv(plan, row_mesh(p), mm_interior="xla")
+        X = np.random.default_rng(51).standard_normal(
+            (a.shape[1], 96)).astype(np.float32)
+        Ys = np.asarray(op_s(X))
+        Yx = np.asarray(op_x(X))
+        ref = to_scipy(a) @ X
+        np.testing.assert_allclose(Ys, ref, rtol=2e-5, atol=2e-4)
+        np.testing.assert_allclose(Ys, Yx, rtol=2e-5, atol=2e-4)
+
+    def test_remainder_spills_still_exact(self):
+        # far off-band blocks in the COO remainder ride alongside
+        import scipy.sparse as sp
+
+        from cask_tpu.formats.convert import csr_to_bsr, from_scipy
+
+        a = _fem(16, dtype=np.float64, seed=7)
+        s = to_scipy(a).tolil()
+        rng = np.random.default_rng(7)
+        n = s.shape[0]
+        for _ in range(8):
+            bi = int(rng.integers(0, n // 4 - 1))
+            bj = int(rng.integers(0, n // 4 - 1))
+            s[bi * 4 : bi * 4 + 4, bj * 4 : bj * 4 + 4] = \
+                rng.standard_normal((4, 4))
+        b = csr_to_bsr(from_scipy(s.tocsr()), (4, 4))
+        plan = partition_bdia(b, 4)
+        op = DistSpmv(plan, row_mesh(4), mm_interior="slab")
+        X = rng.standard_normal((b.shape[1], 80))
+        np.testing.assert_allclose(np.asarray(op(X)), s.tocsr() @ X,
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_slab_rejected_for_dia_plan(self):
+        from cask_tpu.formats.generate import stencil_2d
+        from cask_tpu.parallel import partition_dia
+
+        a = stencil_2d(24)
+        plan = partition_dia(a, 4)
+        with pytest.raises(ValueError, match="BdiaPartition"):
+            DistSpmv(plan, row_mesh(4), mm_interior="slab")
