@@ -43,15 +43,18 @@ X0 = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(0), (n, k),
 Xp = jax.jit(op.padded)(X0)
 
 
-def step(V):
-    Y = op.padded_op(V)
+# operands threaded as traced arguments: closing over the 840 MB shard
+# slabs 413s the remote compile (first run of this probe died there)
+def step(V, ops):
+    Y = op.padded_op_with(ops, V)
     return (Y / (jnp.max(jnp.abs(Y)) + 1e-30)).astype(V.dtype)
 
 
 best = None
 t0 = time.time()
 for _ in range(3):
-    ms = measure_chained(step, Xp, k1=2, k2=10, points=3, repeats=2)
+    ms = measure_chained(step, Xp, operands=op.operands,
+                         k1=2, k2=10, points=3, repeats=2)
     if np.isfinite(ms.seconds_per_iter) and (
             best is None or ms.seconds_per_iter < best.seconds_per_iter):
         best = ms
@@ -64,11 +67,11 @@ op_x = DistSpmv(pplan, row_mesh(1), mm_interior="xla")
 
 
 @jax.jit
-def err(V):
-    y1 = op.padded_op(V)
+def err(V, ops):
+    y1 = op.padded_op_with(ops, V)
     y2 = op_x.padded_op(V)
     return jnp.max(jnp.abs(y1 - y2)) / jnp.max(jnp.abs(y2))
 
 
-log(f"dist slab vs xla interior relerr: {float(err(Xp)):.3e}")
+log(f"dist slab vs xla interior relerr: {float(err(Xp, op.operands)):.3e}")
 log("DONE")

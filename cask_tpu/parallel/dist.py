@@ -543,6 +543,7 @@ class DistSpmv:
                     check_vma=False,
                 )
             )
+            self._spmm_raw = f_mm
             self._spmm = lambda plan_dev, xp: f_mm(plan_dev, self._slabs, xp)
         else:
             self._spmm = jax.jit(
@@ -635,10 +636,35 @@ class DistSpmv:
 
     def padded_op(self, xp):
         """Operator on already-padded, sharded vectors (for solvers):
-        keeps everything device-resident with zero reshard traffic."""
+        keeps everything device-resident with zero reshard traffic.
+
+        NOTE: inside a USER jit this closes over the plan (and any
+        interior plans) as compile-time constants — fine at SpMV-plan
+        scale, but large operands (the slab SpMM interior is ~10× the
+        values) make compiles slow and can exceed the remote-compile
+        relay's request limit (HTTP 413).  Jitted solver loops should
+        thread :attr:`operands` through as arguments and call
+        :meth:`padded_op_with` (the AMG lesson, probe_amg9/10)."""
         if xp.ndim == 1:
             return self._spmv(self.plan_dev, xp)
         return self._spmm(self.plan_dev, xp)
+
+    @property
+    def operands(self):
+        """Device operand pytree (plan + any interior plans) to pass
+        through jitted loops as ARGUMENTS via :meth:`padded_op_with`."""
+        if getattr(self, "_slabs", None) is not None:
+            return (self.plan_dev, self._slabs)
+        return (self.plan_dev,)
+
+    def padded_op_with(self, ops, xp):
+        """Like :meth:`padded_op`, but with :attr:`operands` supplied
+        explicitly (traced) — use inside jitted solver loops."""
+        if xp.ndim == 1:
+            return self._spmv(ops[0], xp)
+        if len(ops) > 1:
+            return self._spmm_raw(ops[0], ops[1], xp)
+        return self._spmm(ops[0], xp)
 
 
 # ---------------------------------------------------------------------------

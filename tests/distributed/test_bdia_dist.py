@@ -400,3 +400,34 @@ class TestSlabMmInterior:
         plan = partition_dia(a, 4)
         with pytest.raises(ValueError, match="BdiaPartition"):
             DistSpmv(plan, row_mesh(4), mm_interior="slab")
+
+
+class TestPaddedOpWith:
+    def test_operands_as_arguments_match(self):
+        # jitted loops thread op.operands through padded_op_with: same
+        # results as the closure path, plan/slabs traced not constant
+        import jax
+
+        a = _fem(16, seed=21, dtype=np.float32)
+        plan = partition_bdia(a, 4)
+        op = DistSpmv(plan, row_mesh(4), mm_interior="slab")
+        assert len(op.operands) == 2  # plan + shard slabs
+        X = np.random.default_rng(21).standard_normal(
+            (a.shape[1], 96)).astype(np.float32)
+        Xp = op.padded(X)
+
+        @jax.jit
+        def f(ops, xp):
+            return op.padded_op_with(ops, xp)
+
+        y1 = np.asarray(f(op.operands, Xp))
+        y2 = np.asarray(op.padded_op(Xp))
+        np.testing.assert_array_equal(y1, y2)
+        # spmv path too (single operand tuple)
+        op_v = DistSpmv(plan, row_mesh(4))
+        x = np.random.default_rng(22).standard_normal(
+            a.shape[1]).astype(np.float32)
+        xp = op_v.padded(x)
+        np.testing.assert_array_equal(
+            np.asarray(op_v.padded_op_with(op_v.operands, xp)),
+            np.asarray(op_v.padded_op(xp)))
