@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--kind", default="dia", choices=("dia", "bdia"),
                     help="dia: scalar 5-point stencil; bdia: dof-4 FEM "
                          "block matrix on the flagship BDIA path")
+    ap.add_argument("--mm", type=int, default=0, metavar="K",
+                    help="also ladder the wide-k SpMM path with K dense "
+                         "columns (the MXU slab shard interior on TPU)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -83,6 +86,7 @@ def main(argv=None):
 
     # ---- weak-scaling ladder -------------------------------------------
     base_ns = None
+    base_ns_mm = None
     for p in shards:
         if p > ndev:
             continue
@@ -109,6 +113,34 @@ def main(argv=None):
         else:
             rec["efficiency"] = round(base_ns / ns_per_row, 4)
         emit(rec)
+
+        if args.mm:
+            # wide-k SpMM ladder on the same shards; operator plans ride
+            # as ARGUMENTS (closure-captured slab interiors exceed the
+            # remote-compile request limit — PERF.md probe_dist_slab1)
+            op_m = DistSpmv(plan, row_mesh(p))
+            X0 = jax.jit(lambda n=n, k=args.mm: 0.1 * jax.random.normal(
+                jax.random.PRNGKey(2), (n, k), jnp.float32))()
+            Xp = jax.jit(op_m.padded)(X0)
+            mm = measure_chained(
+                lambda V, o, op_m=op_m: op_m.padded_op_with(o, V)
+                * jnp.float32(0.12),
+                Xp, operands=op_m.operands, k1=2, k2=10, points=3,
+                repeats=2)
+            ns_row_mm = mm.seconds_per_iter / n * 1e9
+            rec_m = {"op": "dist_spmm_weak_scaling", "kind": args.kind,
+                     "k": args.mm, "nshards": p, "rows": n,
+                     "mm_interior": op_m.mm_interior,
+                     "seconds_per_op": mm.seconds_per_iter,
+                     "ns_per_row": round(ns_row_mm, 4),
+                     "reliable": mm.reliable,
+                     "backend": "tpu" if on_tpu() else "cpu"}
+            if base_ns_mm is None:
+                base_ns_mm = ns_row_mm
+                rec_m["efficiency"] = 1.0
+            else:
+                rec_m["efficiency"] = round(base_ns_mm / ns_row_mm, 4)
+            emit(rec_m)
 
     # ---- overlap A/B at the largest shard count ------------------------
     p = max(s for s in shards if s <= ndev)
