@@ -159,6 +159,23 @@ def spmm(a, x, *, transpose: bool = False, method: str = "auto",
 
     if isinstance(a, DiaMatrix):
         return spmm_dia(a, x, transpose=transpose, accum_dtype=accum_dtype)
+    from cask_tpu.ops.pallas.bdia_slab import BdiaSlabs
+
+    if isinstance(a, BdiaSlabs):
+        # a held slab plan IS the operator: jitted solver loops pass it
+        # as a pytree ARGUMENT (a closure-captured plan becomes compile
+        # constants — slow compiles, and beyond ~100 MB the remote
+        # relay rejects the request; PERF.md probe_dist_slab1).  Note a
+        # BdiaSlabs holds only the sheared band — spilled COO remainder
+        # entries stay with the source BdiaMatrix (the BdiaMatrix auto
+        # route adds them itself; direct BdiaSlabs callers must).
+        if transpose:
+            raise ValueError("BdiaSlabs has no transpose plan; shear "
+                             "transpose_plan(bdia) instead")
+        from cask_tpu.ops.pallas.bdia_slab import bdia_spmm_pallas_slab
+
+        return bdia_spmm_pallas_slab(a, x, precision="highest",
+                                     out_dtype=accum_dtype)
     from cask_tpu.ops.pallas.poh_kernels import PohMatrix
 
     if isinstance(a, PohMatrix):

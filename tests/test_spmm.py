@@ -366,3 +366,31 @@ class TestBdiaSlabSpmmRoute:
         np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-10, atol=1e-9)
         # tracer leaves must not be memoized as a plan
         assert getattr(p, "_slab_auto_plan", None) is None
+
+
+class TestSpmmSlabPlanArgument:
+    """A held BdiaSlabs IS an spmm operator: jitted solver loops pass it
+    as a pytree argument (exact precision)."""
+
+    def test_slab_plan_as_traced_operand(self):
+        import jax
+        import jax.numpy as jnp
+
+        from cask_tpu.formats.convert import to_scipy
+        from cask_tpu.formats.generate import fem_blocks
+        from cask_tpu.ops.bdia import bdia_plan
+        from cask_tpu.ops.pallas.bdia_slab import bdia_slab_plan
+
+        a = fem_blocks(16, dof=4, return_bsr=True)
+        p = bdia_plan(a, (4, 4))
+        sl = bdia_slab_plan(p, 8)
+        X = np.random.default_rng(61).standard_normal((p.shape[1], 96))
+
+        @jax.jit
+        def f(SL, XX):
+            return spmm(SL, XX)
+
+        Y = np.asarray(f(sl, jnp.asarray(X)))
+        np.testing.assert_allclose(Y, to_scipy(a) @ X, rtol=1e-10, atol=1e-9)
+        with pytest.raises(ValueError, match="transpose"):
+            spmm(sl, jnp.asarray(X), transpose=True)
