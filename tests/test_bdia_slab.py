@@ -171,3 +171,63 @@ class TestSlabRing:
         y = sl.from_padded(bdia_spmm_slab_ring_padded(sl, xp), 4)
         np.testing.assert_allclose(np.asarray(y), s @ x,
                                    rtol=1e-12, atol=1e-12)
+
+
+class TestSlabEdgeGeometries:
+    def _bsr_from_scipy(self, s, b):
+        from cask_tpu.formats.convert import csr_to_bsr, from_scipy
+
+        return csr_to_bsr(from_scipy(s.tocsr()), (b, b))
+
+    def test_no_far_offsets(self):
+        # pure block-tridiagonal: pad_tiles == 0, no far segments, the
+        # halo columns carry the whole coupling
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(31)
+        nb, b = 96, 4
+        n = nb * b
+        s = sp.lil_matrix((n, n))
+        for i in range(nb):
+            for dj in (-1, 0, 1):
+                j = i + dj
+                if 0 <= j < nb:
+                    s[i * b : (i + 1) * b, j * b : (j + 1) * b] = \
+                        rng.standard_normal((b, b))
+        p = bdia_plan(self._bsr_from_scipy(s, b), (b, b))
+        assert all(abs(d) <= 1 for d in p.block_offsets)
+        sl = bdia_slab_plan(p, 8)
+        assert sl.far_offsets == () and sl.pad_tiles == 0
+        from cask_tpu.ops.pallas.bdia_slab import bdia_spmm_slab_ring_padded
+
+        X = rng.standard_normal((n, 8))
+        y1 = np.asarray(bdia_spmm_pallas_slab(sl, jnp.asarray(X)))
+        np.testing.assert_allclose(y1, s.tocsr() @ X, rtol=1e-12, atol=1e-12)
+        xp = sl.to_padded(jnp.asarray(X))
+        y2 = sl.from_padded(bdia_spmm_slab_ring_padded(sl, xp), 8)
+        np.testing.assert_allclose(np.asarray(y2), s.tocsr() @ X,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_single_asymmetric_far_offset(self):
+        # one far offset only (e.g. a periodic-coupling band upward)
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(32)
+        nb, b, off = 128, 4, 16
+        n = nb * b
+        s = sp.lil_matrix((n, n))
+        for i in range(nb):
+            for dj in (0, 1):
+                j = i + dj
+                if j < nb:
+                    s[i * b : (i + 1) * b, j * b : (j + 1) * b] = \
+                        rng.standard_normal((b, b))
+            if i + off < nb:
+                s[i * b : (i + 1) * b, (i + off) * b : (i + off + 1) * b] = \
+                    rng.standard_normal((b, b))
+        p = bdia_plan(self._bsr_from_scipy(s, b), (b, b))
+        sl = bdia_slab_plan(p, 8)
+        assert sl.far_offsets == (off,)
+        X = rng.standard_normal((n, 8))
+        y = np.asarray(bdia_spmm_pallas_slab(sl, jnp.asarray(X)))
+        np.testing.assert_allclose(y, s.tocsr() @ X, rtol=1e-12, atol=1e-12)
