@@ -379,10 +379,15 @@ def bdia_spmm_pallas_slab(sl: BdiaSlabs, x, *,
     if squeeze:
         x = x[:, None]
     k = int(x.shape[1])
-    xpad = sl.to_padded(x)
-    ypad = bdia_spmm_slab_ring_padded(sl, xpad, precision=precision,
-                                      out_dtype=out_dtype)
-    y = sl.from_padded(ypad, k)
+    kp = max(_LANE, -(-k // _LANE) * _LANE)
+    body = sl.ntiles * sl.gb_c
+    if x.shape[0] == body and k == kp:
+        xb = x  # zero-copy: rows already fill the natural body frame
+    else:
+        xb = jnp.zeros((body, kp), x.dtype).at[: x.shape[0], :k].set(x)
+    yb = bdia_spmm_slab_ring(sl, xb, precision=precision,
+                             out_dtype=out_dtype)
+    y = yb[: sl.shape[0], :k]
     return y[:, 0] if squeeze else y
 
 
@@ -475,11 +480,29 @@ def bdia_spmm_slab_ring_padded(sl: BdiaSlabs, xpad, *,
     crosses HBM ONCE via a revolving VMEM window ring (the far segments
     re-read banks the core stream already fetched).  Traffic floor drops
     from ``slab + (1+nfar)·X + Y`` to ``slab + X + Y``."""
+    return _slab_ring_call(sl, xpad, True, gg, precision, out_dtype)
+
+
+def bdia_spmm_slab_ring(sl: BdiaSlabs, xb, *,
+                        gg: Optional[int] = None,
+                        precision: Optional[str] = None,
+                        out_dtype=None):
+    """NATURAL-frame X-ring slab SpMM: ``xb``/``y`` are the body rows
+    ``(ntiles·G·bc, kp)`` — no far-offset padding frame at all (the
+    ring's bank fill substitutes zeros for out-of-range windows, so the
+    padded layout's embed copy disappears).  Zero-copy for callers whose
+    rows already fill the body (``nb_pad == nbr``, or the distributed
+    align contract)."""
+    return _slab_ring_call(sl, xb, False, gg, precision, out_dtype)
+
+
+def _slab_ring_call(sl: BdiaSlabs, xpad, padded, gg, precision, out_dtype):
     br, bc = sl.blocksize
     if br != bc:
         raise ValueError("padded slab chain layout needs square blocks")
     g, gb_r, gb_c = sl.g, sl.gb_r, sl.gb_c
-    ntiles, p0t = sl.ntiles, sl.pad_tiles
+    ntiles = sl.ntiles
+    p0t = sl.pad_tiles if padded else 0
     nfar = len(sl.far_offsets)
     total = p0t + ntiles + p0t
     kp = int(xpad.shape[1])

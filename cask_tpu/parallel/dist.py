@@ -373,7 +373,7 @@ def _bdia_local_mm_slab(plan: BdiaPartition, slabs_loc, x_loc, axis: str,
     precision) — same halo/fixup/remainder discipline as
     :func:`_bdia_local_mm`, with the interior's zero-padded frame being
     the slab kernel's own padded chain layout."""
-    from cask_tpu.ops.pallas.bdia_slab import bdia_spmm_slab_ring_padded
+    from cask_tpu.ops.pallas.bdia_slab import bdia_spmm_slab_ring
 
     br, bc = plan.blocksize
     lo, hi = plan.halo_lo_b * bc, plan.halo_hi_b * bc
@@ -385,9 +385,17 @@ def _bdia_local_mm_slab(plan: BdiaPartition, slabs_loc, x_loc, axis: str,
 
     kwargs, BdiaSlabs = geom
     sl = BdiaSlabs(slabs=_sq(slabs_loc), **kwargs)
-    ypad = bdia_spmm_slab_ring_padded(sl, sl.to_padded(x_loc),
-                                      precision="highest")
-    y = sl.from_padded(ypad, k)
+    # natural body frame: zero-copy when the shard fills it (the align
+    # contract); otherwise one tail-pad copy — never the full far-offset
+    # padding embed (the ring substitutes zeros for out-of-range windows)
+    body = sl.ntiles * sl.gb_c
+    kp = max(128, -(-k // 128) * 128)
+    if x_loc.shape[0] == body and k == kp:
+        xb = x_loc
+    else:
+        xb = jnp.zeros((body, kp), x_loc.dtype).at[: x_loc.shape[0], :k].set(
+            x_loc)
+    y = bdia_spmm_slab_ring(sl, xb, precision="highest")[: plan.mloc, :k]
 
     head, tail = _bdia_edge_fixups(plan, left, right, k=k)
     if head is not None:

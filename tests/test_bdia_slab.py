@@ -231,3 +231,24 @@ class TestSlabEdgeGeometries:
         X = rng.standard_normal((n, 8))
         y = np.asarray(bdia_spmm_pallas_slab(sl, jnp.asarray(X)))
         np.testing.assert_allclose(y, s.tocsr() @ X, rtol=1e-12, atol=1e-12)
+
+
+class TestSlabRingNatural:
+    def test_natural_matches_padded(self):
+        from cask_tpu.ops.pallas.bdia_slab import (
+            bdia_spmm_slab_ring,
+            bdia_spmm_slab_ring_padded,
+        )
+
+        p, s = _plan(16, dof=4)
+        sl = bdia_slab_plan(p, 8)
+        X = np.random.default_rng(41).standard_normal((p.shape[1], 8))
+        body = sl.ntiles * sl.gb_c
+        xb = jnp.zeros((body, 128)).at[: X.shape[0], :8].set(jnp.asarray(X))
+        yb = bdia_spmm_slab_ring(sl, xb)
+        yp = sl.from_padded(
+            bdia_spmm_slab_ring_padded(sl, sl.to_padded(jnp.asarray(X))), 8)
+        np.testing.assert_array_equal(np.asarray(yb[: p.shape[0], :8]),
+                                      np.asarray(yp))
+        np.testing.assert_allclose(np.asarray(yb[: p.shape[0], :8]), s @ X,
+                                   rtol=1e-12, atol=1e-12)
