@@ -143,17 +143,14 @@ class BdiaSlabs:
 
 def bdia_slab_ok(a: "_bdia.BdiaMatrix", g: int = 16) -> bool:
     """Can this plan take the slab MXU path?  Near offsets must be
-    |d| ≤ 1 (one-block halo), every far offset a multiple of ``g``
-    (whole-tile BlockSpec shifts), and the tile geometry must clear the
-    Mosaic sublane floors (≥ 8 rows per block view)."""
+    |d| ≤ 1 (one-block halo) and the tile geometry must clear the
+    Mosaic sublane floors (≥ 8 rows per block view).  Far offsets may
+    be ARBITRARY: the X-ring delivery resolves each to a static
+    bank/offset pair (the BlockSpec variant additionally needs
+    ``g·gg | d`` and validates it per call)."""
     br, bc = a.blocksize
     hb = max(8, bc)
-    if a.nb_pad % g or (g * br) % 8 or hb % bc or (g * bc) % hb:
-        return False
-    for d in a.block_offsets:
-        if abs(d) > 1 and d % g:
-            return False
-    return True
+    return not (a.nb_pad % g or (g * br) % 8 or hb % bc or (g * bc) % hb)
 
 
 def bdia_slab_plan(a: "_bdia.BdiaMatrix", g: int = 16,
@@ -253,10 +250,12 @@ def _slab_kernel(bc, hb, gb_r, gb_c, gg, nfar, p0s, nsup, acc_dtype,
 _VMEM_STEP_BUDGET = 6 * 1024 * 1024  # per-step operand bytes (x2 buffered)
 
 
-def _pick_gg(sl: BdiaSlabs, kp: int, db_x: int, db_out: int) -> int:
+def _pick_gg(sl: BdiaSlabs, kp: int, db_x: int, db_out: int,
+             far_div: bool = False) -> int:
     """Largest feasible power-of-2 super-tile factor: must divide the
-    layout alignment, shift whole super-tiles for every far offset, and
-    keep the double-buffered per-step operands inside VMEM.
+    layout alignment and keep the double-buffered per-step operands
+    inside VMEM.  ``far_div``: additionally require whole-super-tile
+    far shifts (the BlockSpec delivery; the X-ring takes any offset).
 
     VMEM blocks pad their LANE dimension to 128 — a (rows, 64) slab
     block occupies (rows, 128) of VMEM (probe_slabmm1d hit the 16 MB
@@ -273,8 +272,9 @@ def _pick_gg(sl: BdiaSlabs, kp: int, db_x: int, db_out: int) -> int:
             gg * sl.gb_r * lanes(sl.width) * db_s
             + (1 + nfar) * gg * sl.gb_c * kp * db_x
             + gg * sl.gb_r * kp * db_out)
-        if step_bytes <= _VMEM_STEP_BUDGET and \
-                all(d % (sl.g * gg) == 0 for d in sl.far_offsets):
+        if step_bytes <= _VMEM_STEP_BUDGET and (
+                not far_div
+                or all(d % (sl.g * gg) == 0 for d in sl.far_offsets)):
             break
         gg //= 2
     return gg
@@ -308,7 +308,7 @@ def bdia_spmm_slab_padded(sl: BdiaSlabs, xpad, *,
             out_dtype = jnp.promote_types(out_dtype, jnp.float32)
     if gg is None:
         gg = _pick_gg(sl, kp, jnp.dtype(xpad.dtype).itemsize,
-                      jnp.dtype(out_dtype).itemsize)
+                      jnp.dtype(out_dtype).itemsize, far_div=True)
     if sl.gg_align % gg or p0t % gg or ntiles % gg:
         raise ValueError(f"gg={gg} must divide the layout alignment "
                          f"(gg_align={sl.gg_align}, pad={p0t})")
@@ -396,15 +396,18 @@ def bdia_spmm_pallas_slab(sl: BdiaSlabs, x, *,
 # ---------------------------------------------------------------------------
 
 
-def _slab_ring_kernel(bc, gb_r, gb_c, gg, far_shifts, nb, smin, smax, p0s,
+def _slab_ring_kernel(bc, gb_r, gb_c, gg, far_blocks, nb, smin, smax, p0s,
                       nsup, tot_s, acc_dtype, precision, interpret,
                       s_ref, x_hbm, o_ref, banks, sems):
     # The BlockSpec version fetches each window once per consuming
-    # segment (core + every far shift = (1+nfar)x X traffic).  Here a
-    # revolving VMEM ring holds the last/next few super-windows and the
-    # far segments read the SAME banks the core already fetched — X
-    # crosses HBM exactly once.  Bank w%nb holds window w; at step s the
-    # live windows are s+smin .. s+smax (+1 lookahead being filled).
+    # segment (core + every far shift = (1+nfar)x X traffic) and needs
+    # g·gg | d.  Here a revolving VMEM ring holds the last/next few
+    # super-windows and the far segments read the SAME banks the core
+    # already fetched — X crosses HBM exactly once, and an ARBITRARY far
+    # offset d resolves to a static (bank shift, row offset) pair per
+    # sub-tile (straddles concat two banks, the ring-SpMM two-slice
+    # idiom).  Bank w%nb holds window w; at step s the live windows are
+    # s+smin .. s+smax (+1 lookahead being filled).
     wg = gg * gb_c
     s = pl.program_id(0)
 
@@ -466,7 +469,16 @@ def _slab_ring_kernel(bc, gb_r, gb_c, gg, far_shifts, nb, smin, smax, p0s,
             post = (bank(1)[:bc] if j == gg - 1
                     else core_b[c0 + gb_c : c0 + gb_c + bc])
             parts = [pre, post, core_b[c0 : c0 + gb_c]]
-            parts += [bank(sh)[c0 : c0 + gb_c] for sh in far_shifts]
+            for d in far_blocks:
+                # window start relative to this super's frame — all
+                # static, so each far read is a fixed bank/offset pair
+                q0, o0 = divmod(c0 + d * bc, wg)
+                if o0 + gb_c <= wg:
+                    parts.append(bank(q0)[o0 : o0 + gb_c])
+                else:
+                    parts.append(jnp.concatenate(
+                        [bank(q0)[o0:], bank(q0 + 1)[: o0 + gb_c - wg]],
+                        axis=0))
             w = jnp.concatenate(parts, axis=0)
             acc = dot(s_ref[r0 : r0 + gb_r], w)
             o_ref[r0 : r0 + gb_r] = acc.astype(o_ref.dtype)
@@ -520,17 +532,19 @@ def _slab_ring_call(sl: BdiaSlabs, xpad, padded, gg, precision, out_dtype):
     if sl.gg_align % gg or p0t % gg or ntiles % gg:
         raise ValueError(f"gg={gg} must divide the layout alignment "
                          f"(gg_align={sl.gg_align}, pad={p0t})")
-    for d in sl.far_offsets:
-        if d % (g * gg):
-            raise ValueError(f"far offset {d} not a multiple of g*gg="
-                             f"{g * gg}; pass a smaller gg")
     p0s, nsup = p0t // gg, ntiles // gg
     tot_s = p0s + nsup + p0s
-    far_shifts = tuple(d // (g * gg) for d in sl.far_offsets)
-    smin = min((-1,) + far_shifts)
-    smax = max((1,) + far_shifts)
-    nb = smax - smin + 3  # live span + lookahead + safety
     wg = gg * gb_c
+    # live bank span: each far offset resolves to a static (bank shift,
+    # row offset) per sub-tile — NO g·gg | d requirement (straddling
+    # windows concat two banks); endpoints j=0 / j=gg-1 bound the span
+    smin, smax = -1, 1
+    for d in sl.far_offsets:
+        for j in (0, gg - 1):
+            q0, o0 = divmod(j * gb_c + d * bc, wg)
+            smin = min(smin, q0)
+            smax = max(smax, q0 + (1 if o0 + gb_c > wg else 0))
+    nb = smax - smin + 3  # live span + lookahead + safety
 
     def _slab_map(s):
         return (jnp.clip(s - p0s, 0, nsup - 1), 0)
@@ -538,8 +552,8 @@ def _slab_ring_call(sl: BdiaSlabs, xpad, padded, gg, precision, out_dtype):
     acc_dtype = (jnp.float64 if jnp.dtype(out_dtype) == jnp.float64
                  else jnp.float32)
     kernel = functools.partial(
-        _slab_ring_kernel, bc, gb_r, gb_c, gg, far_shifts, nb, smin, smax,
-        p0s, nsup, tot_s, acc_dtype, precision, _interpret())
+        _slab_ring_kernel, bc, gb_r, gb_c, gg, sl.far_offsets, nb, smin,
+        smax, p0s, nsup, tot_s, acc_dtype, precision, _interpret())
     return pl.pallas_call(
         kernel,
         grid=(tot_s,),

@@ -101,10 +101,12 @@ class TestSlabPlan:
         # far offset 16 at g=8 caps gg at 2: g*gg must divide every d
         with pytest.raises(ValueError, match="far offset"):
             bdia_spmm_slab_padded(sl, xp, gg=4)
-        # ... and the auto pick respects the same constraint
+        # ... the BlockSpec auto pick respects the same constraint,
+        # while the ring delivery is freed from it (arbitrary offsets)
         from cask_tpu.ops.pallas.bdia_slab import _pick_gg
 
-        assert _pick_gg(sl, 128, 8, 8) == 2
+        assert _pick_gg(sl, 128, 8, 8, far_div=True) == 2
+        assert _pick_gg(sl, 128, 8, 8) == sl.gg_align
 
     def test_padded_chain_endomorphic(self):
         # the zero-copy solver layout: two chained applications equal A@(A@x)
@@ -207,6 +209,45 @@ class TestSlabEdgeGeometries:
         y2 = sl.from_padded(bdia_spmm_slab_ring_padded(sl, xp), 8)
         np.testing.assert_allclose(np.asarray(y2), s.tocsr() @ X,
                                    rtol=1e-12, atol=1e-12)
+
+    def test_far_offset_not_divisible_by_g(self):
+        # d=18 with g=8 (and any gg): only the X-ring delivery handles
+        # it — each far read is a static two-bank slice
+        import scipy.sparse as sp
+
+        from cask_tpu.ops.pallas.bdia_slab import (
+            bdia_spmm_slab_padded,
+            bdia_spmm_slab_ring,
+        )
+
+        rng = np.random.default_rng(33)
+        nb, b, off = 128, 4, 18
+        n = nb * b
+        s = sp.lil_matrix((n, n))
+        for i in range(nb):
+            s[i * b : (i + 1) * b, i * b : (i + 1) * b] = \
+                rng.standard_normal((b, b))
+            if i + off < nb:
+                s[i * b : (i + 1) * b, (i + off) * b : (i + off + 1) * b] = \
+                    rng.standard_normal((b, b))
+            if i - off >= 0:
+                s[i * b : (i + 1) * b, (i - off) * b : (i - off + 1) * b] = \
+                    rng.standard_normal((b, b))
+        p = bdia_plan(self._bsr_from_scipy(s, b), (b, b))
+        assert p.block_offsets == (-off, 0, off)
+        sl = bdia_slab_plan(p, 8)
+        X = rng.standard_normal((n, 8))
+        y = np.asarray(bdia_spmm_pallas_slab(sl, jnp.asarray(X)))
+        np.testing.assert_allclose(y, s.tocsr() @ X, rtol=1e-12, atol=1e-12)
+        # explicit non-divisible gg on the ring: still exact
+        body = sl.ntiles * sl.gb_c
+        xb = jnp.zeros((body, 128)).at[:n, :8].set(jnp.asarray(X))
+        y2 = bdia_spmm_slab_ring(sl, xb, gg=2)[:n, :8]
+        np.testing.assert_allclose(np.asarray(y2), s.tocsr() @ X,
+                                   rtol=1e-12, atol=1e-12)
+        # the BlockSpec delivery refuses (needs g*gg | d)
+        with pytest.raises(ValueError, match="far offset"):
+            bdia_spmm_slab_padded(sl, sl.to_padded(jnp.asarray(X)), gg=1)
 
     def test_single_asymmetric_far_offset(self):
         # one far offset only (e.g. a periodic-coupling band upward)
