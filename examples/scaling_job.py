@@ -13,6 +13,8 @@ Fake-mesh validation (committed output: examples/scaling_job_fakemesh.json):
 
     python examples/scaling_job.py --cpu --rows-per-shard 300000 \
         --shards 1,2,4,8 --out examples/scaling_job_fakemesh.json
+    python examples/scaling_job.py --cpu --kind bdia --rows-per-shard \
+        40000 --shards 1,2,4 --mm 96 --out examples/scaling_job_fakemesh.json
 
 Expected output: one JSON line per (kind, nshards) with
 ``ns_per_row``; weak-scaling efficiency = ns_per_row(1) / ns_per_row(P)
