@@ -18,19 +18,26 @@ n_far)`` columns)::
   ``G·bc`` core segment, with the two boundary blocks (d=−1 at the
   tile's first block row, d=+1 at its last) landing in the ``2·bc`` halo
   columns;
-- each *far* offset d (``G | d`` required) is a block diagonal inside
-  its own ``G·bc`` segment, whose X window is the core window shifted by
-  ``d/G`` whole tiles — a static BlockSpec index-map offset, so the
-  Pallas pipeline streams every window with no gathers.
+- each *far* offset d is a block diagonal inside its own ``G·bc``
+  segment.  The shipped X-RING delivery
+  (:func:`bdia_spmm_slab_ring`) holds the live super-windows in a
+  revolving VMEM bank ring, so X crosses HBM ONCE and every far offset
+  — arbitrary, no divisibility requirement — resolves per sub-tile to
+  a static (bank, row offset) pair; the BlockSpec delivery
+  (:func:`bdia_spmm_slab_padded`) keeps one pipelined fetch per
+  segment and needs ``G·gg | d``.
 
-Cost model (fem dof-4, 1M rows, k=128, G=16): the slab stream inflates
-values ~10x (84 MB → 840 MB f32) and X is read once per segment (3x),
-total ~3.0 GB vs the ring's 1.16 GB — but the FLOPs (54 G, vs 5.4 G
-useful) run on the MXU at ~200 TFLOPs instead of the VPU's ~8, so the
-kernel is HBM-bound at a ~3.7 ms floor against the ring's measured
-8.7 ms VPU wall.  MXU default precision truncates f32 operands to bf16
-(PERF.md probe8b: relerr ~3e-3); pass ``precision='highest'`` for the
-6-pass exact-f32 product when accuracy matters more than speed.
+Shipped state (fem dof-4, 1M rows, k=128, G=16 — PERF.md
+probe_slabmm1c/e/f, probe_slabmm2/3): the slab stream inflates values
+~10x (84 MB → 840 MB f32 / 420 MB bf16) but the FLOPs run on the MXU,
+so the kernel is HBM-bound: **4.53 ms f32 (0.31 useful) and 2.53 ms
+all-bf16 (0.56)** vs the VPU ring's 10.2 ms (0.14) — 2.3×/4.05×.  The
+engineering ledger along the way: ~0.45 µs FIXED cost per grid step
+(super-tile the grid), ~40 ns per MXU dot issue (ONE dot per sub-tile
+via a sublane-concat window stack), VMEM lane padding to 128 (budget
+with padded lanes).  MXU default precision truncates f32 operands to
+bf16 (relerr ~5e-3); ``precision='highest'`` is exact-class (3.9e-7)
+at ~10-20 % more time and is what the ``spmm`` auto route uses.
 
 cask analog: the wide-k SpMM hardware path (SURVEY.md §2 R2/T3) — the
 "matching-or-beating" target the ring's VPU bound could not reach.
